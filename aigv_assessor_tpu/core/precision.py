@@ -1,0 +1,39 @@
+"""Precision policy.
+
+The reference trains in bf16 (`shell/train/stage1_train.sh:41 --bf16 True`)
+with fp32 logits (`modeling_internlm2.py:1095-1096` casts the LM head output to
+float) and fp32 norm statistics (`InternLM2RMSNorm.forward` upcasts to float32,
+`modeling_internlm2.py:128-143`). On TPU the same policy is the MXU-optimal
+one: bf16 params + activations feed the 128x128 systolic array at full rate;
+accumulation in fp32 via `preferred_element_type`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Precision:
+    param_dtype: jnp.dtype = jnp.float32  # master params (optimizer in fp32)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32  # norm statistics
+    logits_dtype: jnp.dtype = jnp.float32
+    accum_dtype: jnp.dtype = jnp.float32  # matmul accumulation
+
+    def cast_compute(self, x):
+        return jnp.asarray(x, self.compute_dtype)
+
+    @classmethod
+    def bf16(cls) -> "Precision":
+        return cls()
+
+    @classmethod
+    def fp32(cls) -> "Precision":
+        """Full fp32 (CPU tests / golden-value comparisons)."""
+        return cls(compute_dtype=jnp.float32)
+
+
+DEFAULT_PRECISION = Precision()

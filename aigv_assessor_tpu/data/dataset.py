@@ -1,0 +1,375 @@
+"""JSONL video/image/text dataset + meta registry.
+
+Equivalent of the reference `LazySupervisedDataset` embedded in each entry
+script (`/root/reference/internvl/train/internvl/train/stage1_train.py:340-670`)
+and `build_datasets` (lines 673-726), with the meta-JSON registry format of
+`shell/data/my.json` preserved verbatim:
+
+    {name: {root, annotation_train/annotation_test (train) or annotation
+            (eval), repeat_time, data_augment, length}}
+
+Sample JSONL line contract (SURVEY.md §0): {"video": path, "id": str,
+"mos": float, "conversations": [{"from": "human", ...}, {"from": "gpt", ...}]}.
+The reference's `__getitem__` swallows exceptions and retries random indices
+forever (`stage1_train.py:636-670`); here failures raise by default
+(`retry_on_error=False`) and the retry behavior is opt-in with a bounded
+count.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from aigv_assessor_tpu.core.config import AssessorConfig
+from aigv_assessor_tpu.data.preprocess import get_preprocess_function
+from aigv_assessor_tpu.data.tokenizer import AIGVTokenizer
+from aigv_assessor_tpu.data.video import (
+    dynamic_preprocess,
+    load_video,
+    transform_frames,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Sample:
+    """One collate-ready example (numpy; host side)."""
+
+    video_name: str
+    answer: str
+    mos: float
+    input_ids: np.ndarray  # [S]
+    labels: np.ndarray  # [S]
+    attention_mask: np.ndarray  # [S]
+    pixel_values: np.ndarray  # [T, H, W, 3]
+    image_flags: np.ndarray  # [T]
+    length: int = 0
+
+
+def parse_mos(item: Dict[str, Any]) -> float:
+    """`mos` key, falling back to the `id` suffix after '->' that the bundled
+    sample JSONLs use (`shell/data/mydata_mos1_train.jsonl`, SURVEY.md §0)."""
+    if "mos" in item:
+        return float(item["mos"])
+    id_ = item.get("id", "")
+    if "->" in id_:
+        return float(id_.rsplit("->", 1)[1])
+    raise KeyError(f"sample has no mos: id={id_!r}")
+
+
+class VideoQualityDataset:
+    """Lazy JSONL dataset; map-style (len / __getitem__)."""
+
+    def __init__(
+        self,
+        annotation_path: str,
+        tokenizer: AIGVTokenizer,
+        config: AssessorConfig,
+        root: str = "",
+        is_train: bool = True,
+        num_segments: int = 8,
+        normalize_type: str = "imagenet",
+        group_by_length: bool = False,
+        repeat_time: float = 1.0,
+        gif_fps: float = 10.0,
+        mos_scale: float = 1.0,
+        retry_on_error: bool = False,
+        max_retries: int = 10,
+        ds_name: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.tokenizer = tokenizer
+        self.config = config
+        self.root = root
+        self.is_train = is_train
+        self.num_segments = num_segments
+        self.normalize_type = normalize_type
+        self.group_by_length = group_by_length
+        self.gif_fps = gif_fps
+        self.mos_scale = mos_scale
+        self.retry_on_error = retry_on_error
+        self.max_retries = max_retries
+        self.ds_name = ds_name or os.path.basename(annotation_path)
+        self._rng = np.random.default_rng(seed)
+
+        with open(annotation_path) as f:
+            self.raw_data = [json.loads(line) for line in f if line.strip()]
+        # repeat_time semantics from build_datasets (`stage1_train.py:691-696`)
+        if repeat_time < 1:
+            self.raw_data = self.raw_data[: int(len(self.raw_data) * repeat_time)]
+        elif repeat_time > 1:
+            self.raw_data = self.raw_data * int(repeat_time)
+
+        image_size = config.force_image_size or config.vision.image_size
+        self.image_size = image_size
+
+    def __len__(self) -> int:
+        return len(self.raw_data)
+
+    # ------------------------------------------------------------- items ---
+
+    def video_get_item(self, data_item: Dict[str, Any]) -> Sample:
+        """Port of `video_get_item` (`stage1_train.py:541-597`)."""
+        cfg = self.config
+        conversations = [dict(c) for c in data_item["conversations"]]
+        if "<video>" not in conversations[0]["value"]:
+            conversations[0]["value"] = "<video>\n" + conversations[0]["value"]
+
+        video_path = os.path.join(self.root, data_item["video"])
+        frames = load_video(
+            video_path, num_segments=self.num_segments, gif_fps=self.gif_fps
+        )
+
+        # `Frame{i}: <image>` lines + motion slot (`stage1_train.py:559-563`)
+        special_tokens = "\n".join(
+            f"Frame{i + 1}: <image>" for i in range(len(frames))
+        )
+        special_tokens += "\nMotion Feature: <image>"
+        conversations[0]["value"] = conversations[0]["value"].replace(
+            "<video>\n", special_tokens
+        )
+
+        pixel_values = transform_frames(
+            frames,
+            input_size=self.image_size,
+            is_train=self.is_train,
+            normalize_type=self.normalize_type,
+            rng=self._rng,
+        )
+        num_patches = len(frames) + 1  # + motion slot
+
+        num_image_tokens = [cfg.num_image_token] * num_patches
+        num_image_tokens[-1] = 1  # the motion slot is a single token
+        preprocess_fn = get_preprocess_function(cfg.template)
+        ret = preprocess_fn(
+            cfg.template,
+            [conversations],
+            self.tokenizer,
+            num_image_tokens,
+            group_by_length=self.group_by_length,
+            ds_name=self.ds_name,
+        )[0]
+        if ret.mismatch:
+            logger.warning(
+                "tokenization mismatch in %s (sample %s): labels fully masked",
+                self.ds_name,
+                data_item.get("id"),
+            )
+
+        mos = parse_mos(data_item) * self.mos_scale
+        return Sample(
+            video_name=data_item["video"],
+            answer=data_item["conversations"][1]["value"],
+            mos=mos,
+            input_ids=ret.input_ids,
+            labels=ret.labels,
+            attention_mask=ret.attention_mask,
+            pixel_values=pixel_values,
+            image_flags=np.ones(len(frames), np.int32),
+            length=int(ret.attention_mask.sum()),
+        )
+
+    def image_get_item(self, data_item: Dict[str, Any]) -> Sample:
+        """Single-image path with dynamic tiling (reference `multi_modal_get_item`)."""
+        cfg = self.config
+        conversations = [dict(c) for c in data_item["conversations"]]
+        if "<image>" not in conversations[0]["value"]:
+            conversations[0]["value"] = "<image>\n" + conversations[0]["value"]
+        from PIL import Image
+
+        image_path = os.path.join(self.root, data_item["image"])
+        image = Image.open(image_path).convert("RGB")
+        tiles = dynamic_preprocess(
+            image,
+            min_num=cfg.min_dynamic_patch,
+            max_num=cfg.max_dynamic_patch if cfg.dynamic_image_size else 1,
+            image_size=self.image_size,
+            use_thumbnail=cfg.use_thumbnail,
+        )
+        pixel_values = transform_frames(
+            tiles,
+            input_size=self.image_size,
+            is_train=self.is_train,
+            normalize_type=self.normalize_type,
+            rng=self._rng,
+        )
+        num_patches = len(tiles)
+        preprocess_fn = get_preprocess_function(cfg.template)
+        ret = preprocess_fn(
+            cfg.template,
+            [conversations],
+            self.tokenizer,
+            [cfg.num_image_token * num_patches],
+            group_by_length=self.group_by_length,
+            ds_name=self.ds_name,
+        )[0]
+        mos = 0.0
+        try:
+            mos = parse_mos(data_item) * self.mos_scale
+        except KeyError:
+            pass
+        return Sample(
+            video_name=data_item.get("image", ""),
+            answer=data_item["conversations"][1]["value"],
+            mos=mos,
+            input_ids=ret.input_ids,
+            labels=ret.labels,
+            attention_mask=ret.attention_mask,
+            pixel_values=pixel_values,
+            image_flags=np.ones(num_patches, np.int32),
+            length=int(ret.attention_mask.sum()),
+        )
+
+    def pure_text_get_item(self, data_item: Dict[str, Any]) -> Sample:
+        """Text-only path (reference `pure_text_get_item`): a blank image is
+        still encoded so the graph shape stays static, but its flags are 0."""
+        cfg = self.config
+        ret = get_preprocess_function(cfg.template)(
+            cfg.template,
+            [data_item["conversations"]],
+            self.tokenizer,
+            [],
+            text_only=True,
+            group_by_length=self.group_by_length,
+            ds_name=self.ds_name,
+        )[0]
+        blank = np.zeros((1, self.image_size, self.image_size, 3), np.float32)
+        return Sample(
+            video_name="",
+            answer=data_item["conversations"][1]["value"],
+            mos=0.0,
+            input_ids=ret.input_ids,
+            labels=ret.labels,
+            attention_mask=ret.attention_mask,
+            pixel_values=blank,
+            image_flags=np.zeros(1, np.int32),
+            length=int(ret.attention_mask.sum()),
+        )
+
+    def _get(self, i: int) -> Sample:
+        data_item = self.raw_data[i]
+        if "video" in data_item:
+            return self.video_get_item(data_item)
+        if "image" in data_item:
+            return self.image_get_item(data_item)
+        return self.pure_text_get_item(data_item)
+
+    def __getitem__(self, i: int) -> Sample:
+        if not self.retry_on_error:
+            return self._get(i)
+        last_err = None
+        for _ in range(self.max_retries):
+            try:
+                return self._get(i)
+            except Exception as e:  # noqa: BLE001 — mirrors reference retry
+                logger.warning("sample %d failed (%s); retrying random index", i, e)
+                last_err = e
+                i = int(self._rng.integers(0, len(self)))
+        raise RuntimeError(
+            f"dataset failed {self.max_retries} consecutive samples"
+        ) from last_err
+
+
+class WeightedConcatDataset:
+    """Weighted mixture over datasets (reference `WeightedConcatDataset`,
+    `dataset.py:173-184`): fixed total length, per-dataset sampling weights
+    proportional to size."""
+
+    def __init__(self, datasets: Sequence[VideoQualityDataset], seed: int = 0):
+        self.datasets = list(datasets)
+        sizes = np.array([len(d) for d in self.datasets], np.float64)
+        self.weights = sizes / sizes.sum()
+        self.total = int(sizes.sum())
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.total
+
+    def __getitem__(self, i: int) -> Sample:
+        di = int(self._rng.choice(len(self.datasets), p=self.weights))
+        ds = self.datasets[di]
+        return ds[int(self._rng.integers(0, len(ds)))]
+
+
+@dataclass
+class MetaEntry:
+    root: str = ""
+    annotation: Optional[str] = None
+    annotation_train: Optional[str] = None
+    annotation_test: Optional[str] = None
+    repeat_time: float = 1.0
+    data_augment: bool = False
+    length: Optional[int] = None
+
+
+def load_meta(path: str) -> Dict[str, MetaEntry]:
+    """Parse the dataset meta JSON (`shell/data/my.json:1-10`)."""
+    with open(path) as f:
+        raw = json.load(f)
+    out = {}
+    for name, e in raw.items():
+        out[name] = MetaEntry(
+            root=e.get("root", ""),
+            annotation=e.get("annotation"),
+            annotation_train=e.get("annotation_train"),
+            annotation_test=e.get("annotation_test"),
+            repeat_time=float(e.get("repeat_time", 1.0)),
+            data_augment=bool(e.get("data_augment", False)),
+            length=e.get("length"),
+        )
+    return out
+
+
+def build_datasets(
+    meta_path: str,
+    tokenizer: AIGVTokenizer,
+    config: AssessorConfig,
+    split: str = "train",  # 'train' | 'test' | 'eval'
+    num_segments: int = 8,
+    group_by_length: bool = False,
+    mos_scale: float = 1.0,
+    gif_fps: float = 10.0,
+    retry_on_error: bool = False,
+    seed: int = 0,
+):
+    """Reference `build_datasets` (`stage1_train.py:673-726`): one dataset per
+    meta entry, weighted-concatenated."""
+    metas = load_meta(meta_path)
+    datasets = []
+    for name, meta in metas.items():
+        if split == "train":
+            ann = meta.annotation_train or meta.annotation
+        elif split == "test":
+            ann = meta.annotation_test or meta.annotation
+        else:
+            ann = meta.annotation or meta.annotation_test
+        if ann is None:
+            raise ValueError(f"meta entry {name!r} has no annotation for {split}")
+        datasets.append(
+            VideoQualityDataset(
+                ann,
+                tokenizer,
+                config,
+                root=meta.root,
+                is_train=(split == "train" and meta.data_augment),
+                num_segments=num_segments,
+                group_by_length=group_by_length,
+                repeat_time=meta.repeat_time if split == "train" else 1.0,
+                mos_scale=mos_scale,
+                gif_fps=gif_fps,
+                retry_on_error=retry_on_error,
+                ds_name=name,
+                seed=seed,
+            )
+        )
+    if len(datasets) == 1:
+        return datasets[0]
+    return WeightedConcatDataset(datasets, seed=seed)

@@ -1,0 +1,315 @@
+"""InternLM2(.5) decoder, TPU-native.
+
+Behavioral port of `/root/reference/internvl/model/internlm2/modeling_internlm2.py`:
+GQA attention with a fused wqkv projection, RoPE with dynamic-NTK scaling
+(theta 1e6, factor 2.0 per `config.json:82-86`), SwiGLU FFN (w1/w3/w2,
+lines 264-278), RMSNorm, untied fp32 LM head (`output`, fp32 logits at
+lines 1095-1096).
+
+TPU-first design notes:
+- The reference's fused wqkv uses an *interleaved* `(h, gs, d)` layout
+  (lines 375-385). We keep one fused wqkv matmul (a single large MXU op) but
+  store it **de-interleaved** as [hidden, (Hq + 2*Hkv) * d] with q-heads
+  first, then k, then v; the checkpoint converter de-interleaves once at
+  conversion time (SURVEY.md §7 "hard parts").
+- No growing KV cache: a fixed-capacity cache [B, max_len, Hkv, d] is
+  updated with `lax.dynamic_update_slice` so decode steps re-use one compiled
+  program (the reference grows `past_key_values` per step, lines 395-400).
+- Attention goes through the flash-attention dispatch; the causal-with-cache
+  decode path uses an explicit validity mask instead of varlen packing.
+- Position ids default to arange (reference lines 906-911).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aigv_assessor_tpu.core.config import LLMConfig, LoRAConfig
+from aigv_assessor_tpu.core.precision import Precision
+from aigv_assessor_tpu.models.lora import LoRADense
+from aigv_assessor_tpu.ops.attention import multi_head_attention
+from aigv_assessor_tpu.ops.norms import rms_norm
+from aigv_assessor_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        return rms_norm(x, weight, self.eps)
+
+
+@dataclass
+class KVCache:
+    """Fixed-capacity per-layer KV cache (pytree)."""
+
+    k: Any  # list of [B, max_len, Hkv, d]
+    v: Any
+    index: jnp.ndarray  # scalar int32: number of valid positions
+
+    @classmethod
+    def init(cls, config: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (batch, max_len, config.num_key_value_heads, config.head_dim)
+        return cls(
+            k=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
+            v=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
+            index=jnp.zeros((), jnp.int32),
+        )
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "index"], meta_fields=[]
+)
+
+
+class InternLM2Attention(nn.Module):
+    config: LLMConfig
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, S, C]
+        cos: jnp.ndarray,
+        sin: jnp.ndarray,
+        position_ids: jnp.ndarray,  # [B, S]
+        attention_mask: Optional[jnp.ndarray] = None,  # bool [B, S] or [B,Sq,Skv]
+        cache_k: Optional[jnp.ndarray] = None,  # [B, max_len, Hkv, d]
+        cache_v: Optional[jnp.ndarray] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        b, s, c = x.shape
+        hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+        qkv = LoRADense(
+            (hq + 2 * hkv) * d,
+            use_bias=cfg.bias,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="wqkv",
+        )(x, deterministic)
+        q = qkv[..., : hq * d].reshape(b, s, hq, d)
+        k = qkv[..., hq * d : (hq + hkv) * d].reshape(b, s, hkv, d)
+        v = qkv[..., (hq + hkv) * d :].reshape(b, s, hkv, d)
+
+        q, k = apply_rope(q, k, cos, sin, position_ids)
+
+        new_cache = None
+        if cache_k is not None:
+            # write the new keys/values at [cache_index, cache_index + s)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            )
+            new_cache = (cache_k, cache_v)
+            max_len = cache_k.shape[1]
+            kv_pos = jnp.arange(max_len)
+            # key j valid iff j < index + s and (causal) j <= query position
+            q_pos = position_ids  # [B, S]
+            valid = kv_pos[None, None, :] <= q_pos[:, :, None]
+            valid = valid & (kv_pos[None, None, :] < cache_index + s)
+            out = multi_head_attention(
+                q, cache_k, cache_v, causal=False, mask=valid, impl="xla"
+            )
+        else:
+            if attention_mask is not None and attention_mask.ndim == 3:
+                out = multi_head_attention(
+                    q, k, v, causal=True, mask=attention_mask, impl="xla"
+                )
+            else:
+                # right-padded training/eval batches: causal mask alone is
+                # exact (pad keys are only ever attended by pad queries,
+                # whose loss rows are masked) — replaces varlen flash-attn
+                out = multi_head_attention(q, k, v, causal=True)
+
+        out = out.reshape(b, s, hq * d)
+        out = LoRADense(
+            c,
+            use_bias=cfg.bias,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="wo",
+        )(out, deterministic)
+        return out, new_cache
+
+
+class InternLM2MLP(nn.Module):
+    config: LLMConfig
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        w1 = LoRADense(
+            cfg.intermediate_size, dtype=self.precision.compute_dtype,
+            lora=self.lora, name="w1",
+        )(x, deterministic)
+        w3 = LoRADense(
+            cfg.intermediate_size, dtype=self.precision.compute_dtype,
+            lora=self.lora, name="w3",
+        )(x, deterministic)
+        return LoRADense(
+            cfg.hidden_size, dtype=self.precision.compute_dtype,
+            lora=self.lora, name="w2",
+        )(nn.silu(w1) * w3, deterministic)
+
+
+class InternLM2DecoderLayer(nn.Module):
+    config: LLMConfig
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        cos,
+        sin,
+        position_ids,
+        attention_mask=None,
+        cache_k=None,
+        cache_v=None,
+        cache_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        attn_out, new_cache = InternLM2Attention(
+            cfg, self.precision, self.lora, name="attention"
+        )(
+            RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="attention_norm")(x),
+            cos,
+            sin,
+            position_ids,
+            attention_mask,
+            cache_k,
+            cache_v,
+            cache_index,
+            deterministic,
+        )
+        x = x + attn_out
+        mlp_out = InternLM2MLP(cfg, self.precision, self.lora, name="feed_forward")(
+            RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="ffn_norm")(x),
+            deterministic,
+        )
+        return x + mlp_out, new_cache
+
+
+class InternLM2ForCausalLM(nn.Module):
+    """Returns (logits fp32, final hidden state, new cache)."""
+
+    config: LLMConfig
+    precision: Precision = Precision()
+    lora: Optional[LoRAConfig] = None
+
+    def setup(self):
+        cfg = self.config
+        self.tok_embeddings = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=self.precision.compute_dtype,
+            param_dtype=jnp.float32,
+            name="tok_embeddings",
+        )
+        self.layers = [
+            InternLM2DecoderLayer(
+                cfg, self.precision, self.lora, name=f"layers_{i}"
+            )
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")
+        self.output = nn.Dense(
+            cfg.vocab_size,
+            use_bias=False,
+            dtype=self.precision.compute_dtype,
+            param_dtype=jnp.float32,
+            name="output",
+        )
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.tok_embeddings(input_ids)
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        deterministic: bool = True,
+        rope_len: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[KVCache]]:
+        cfg = self.config
+        if inputs_embeds is None:
+            inputs_embeds = self.tok_embeddings(input_ids)
+        b, s, _ = inputs_embeds.shape
+
+        if position_ids is None:
+            start = cache.index if cache is not None else 0
+            position_ids = start + jnp.arange(s, dtype=jnp.int32)[None, :]
+            position_ids = jnp.broadcast_to(position_ids, (b, s))
+
+        # static rope table length: cache capacity when decoding, else seq len
+        if rope_len is None:
+            rope_len = cache.k[0].shape[1] if cache is not None else s
+        rs = cfg.rope_scaling
+        cos, sin = rope_cos_sin(
+            rope_len,
+            cfg.head_dim,
+            base=cfg.rope_theta,
+            scaling_type=rs.type if rs else None,
+            scaling_factor=rs.factor if rs else 1.0,
+            max_position_embeddings=cfg.max_position_embeddings,
+        )
+
+        x = inputs_embeds.astype(self.precision.compute_dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            ck = cache.k[i] if cache is not None else None
+            cv = cache.v[i] if cache is not None else None
+            ci = cache.index if cache is not None else None
+            x, layer_cache = layer(
+                x, cos, sin, position_ids, attention_mask, ck, cv, ci, deterministic
+            )
+            if layer_cache is not None:
+                new_k.append(layer_cache[0])
+                new_v.append(layer_cache[1])
+
+        hidden = self.norm(x)
+        logits = self.output(hidden).astype(self.precision.logits_dtype)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
+        return logits, hidden, new_cache
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,  # [B, S, V] fp32
+    labels: jnp.ndarray,  # [B, S] int32, ignore = -100
+    ignore_index: int = -100,
+) -> jnp.ndarray:
+    """Shifted next-token CE, mean over non-ignored tokens (reference
+    `modeling_internvl_chat.py:343-355`)."""
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / count

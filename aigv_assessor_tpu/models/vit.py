@@ -1,0 +1,277 @@
+"""InternViT-300M vision encoder, TPU-native.
+
+Re-implements the behavior of the reference encoder
+(`/root/reference/internvl/model/internvl_chat/modeling_intern_vit.py`):
+patch embedding (Conv 14x14 stride 14), cls token, learned position embedding
+with on-the-fly bicubic interpolation (`_get_pos_embed`, lines 87-93), 24
+pre-norm layers with LayerScale ls1/ls2 + DropPath (lines 199-228), optional
+QK-RMSNorm over the flattened head dim (lines 133-151, 166-169), and
+`resize_pos_embeddings` (lines 309-319, provided here as a pure function in
+the checkpoint tools).
+
+TPU-first differences from the reference:
+- NHWC pixel layout (XLA's native conv layout on TPU) instead of NCHW.
+- attention runs through the shared flash-attention dispatch
+  (`aigv_assessor_tpu.ops.attention`) -> Pallas kernel on TPU.
+- position-embedding interpolation uses `jax.image.resize` bicubic *on
+  device* at trace time (static target shape), not a host-side torch call.
+- gradient checkpointing is applied by the trainer via `jax.checkpoint`
+  policies on the scan-over-layers, not per-module flags.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aigv_assessor_tpu.core.config import LoRAConfig, VisionConfig
+from aigv_assessor_tpu.core.precision import Precision
+from aigv_assessor_tpu.models.lora import LoRADense
+from aigv_assessor_tpu.ops.attention import multi_head_attention
+from aigv_assessor_tpu.ops.norms import layer_norm, rms_norm
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        return rms_norm(x, weight, self.eps)
+
+
+class LayerNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return layer_norm(x, weight, bias, self.eps)
+
+
+def make_norm(norm_type: str, dim: int, eps: float, name: str):
+    if norm_type == "rms_norm":
+        return RMSNorm(dim, eps, name=name)
+    return LayerNorm(dim, eps, name=name)
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Stochastic depth (timm DropPath used at reference
+    `modeling_intern_vit.py:213-214`): drop the whole residual branch
+    per-sample."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class InternVisionEmbeddings(nn.Module):
+    config: VisionConfig
+    precision: Precision
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """pixel_values: [B, H, W, 3] (NHWC) -> [B, 1 + H/p*W/p, C]."""
+        cfg = self.config
+        cls_token = self.param(
+            "class_embedding",
+            nn.initializers.normal(1.0),
+            (1, 1, cfg.hidden_size),
+            jnp.float32,
+        )
+        pos_embed = self.param(
+            "position_embedding",
+            nn.initializers.normal(1.0),
+            (1, cfg.num_patches + 1, cfg.hidden_size),
+            jnp.float32,
+        )
+        patch = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.precision.compute_dtype,
+            param_dtype=jnp.float32,
+            name="patch_embedding",
+        )
+        x = patch(pixel_values.astype(self.precision.compute_dtype))  # [B,h,w,C]
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        cls = jnp.broadcast_to(cls_token, (b, 1, c)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+
+        # interpolate grid part of the pos embed to (h, w) when the input
+        # resolution differs from training resolution; on-device bicubic,
+        # mirrors reference `_get_pos_embed` (`modeling_intern_vit.py:87-93`).
+        side = cfg.num_patches_per_side
+        grid = pos_embed[:, 1:, :]
+        if (h, w) != (side, side):
+            grid = grid.reshape(1, side, side, cfg.hidden_size)
+            grid = jax.image.resize(
+                grid, (1, h, w, cfg.hidden_size), method="bicubic"
+            )
+            grid = grid.reshape(1, h * w, cfg.hidden_size)
+        pos = jnp.concatenate([pos_embed[:, :1, :], grid], axis=1)
+        return x + pos.astype(x.dtype)
+
+
+class InternAttention(nn.Module):
+    config: VisionConfig
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        b, n, c = x.shape
+        h, d = cfg.num_attention_heads, cfg.head_dim
+        qkv = LoRADense(
+            3 * c,
+            use_bias=cfg.qkv_bias,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="qkv",
+        )(x, deterministic)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, C]
+
+        if cfg.qk_normalization:
+            # reference normalizes over the *flattened* head dim
+            # (`modeling_intern_vit.py:166-169`)
+            q = RMSNorm(c, cfg.layer_norm_eps, name="q_norm")(q)
+            k = RMSNorm(c, cfg.layer_norm_eps, name="k_norm")(k)
+
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, n, h, d)
+        v = v.reshape(b, n, h, d)
+        out = multi_head_attention(q, k, v, causal=False)
+        out = out.reshape(b, n, c)
+        return LoRADense(
+            c,
+            use_bias=True,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="proj",
+        )(out, deterministic)
+
+
+class InternMLP(nn.Module):
+    config: VisionConfig
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        x = LoRADense(
+            cfg.intermediate_size,
+            use_bias=True,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="fc1",
+        )(x, deterministic)
+        x = nn.gelu(x, approximate=False)
+        return LoRADense(
+            cfg.hidden_size,
+            use_bias=True,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="fc2",
+        )(x, deterministic)
+
+
+class InternVisionEncoderLayer(nn.Module):
+    config: VisionConfig
+    precision: Precision
+    drop_path_rate: float = 0.0
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        ls1 = self.param(
+            "ls1",
+            nn.initializers.constant(cfg.initializer_factor),
+            (cfg.hidden_size,),
+            jnp.float32,
+        )
+        ls2 = self.param(
+            "ls2",
+            nn.initializers.constant(cfg.initializer_factor),
+            (cfg.hidden_size,),
+            jnp.float32,
+        )
+        rng = None
+        if not deterministic and self.drop_path_rate > 0.0:
+            rng = self.make_rng("dropout")
+        attn_out = InternAttention(cfg, self.precision, self.lora, name="attn")(
+            make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm1")(x),
+            deterministic,
+        )
+        x = x + drop_path(
+            attn_out * ls1.astype(attn_out.dtype), self.drop_path_rate,
+            deterministic, rng,
+        )
+        rng2 = None
+        if not deterministic and self.drop_path_rate > 0.0:
+            rng2 = self.make_rng("dropout")
+        mlp_out = InternMLP(cfg, self.precision, self.lora, name="mlp")(
+            make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm2")(x),
+            deterministic,
+        )
+        x = x + drop_path(
+            mlp_out * ls2.astype(mlp_out.dtype), self.drop_path_rate,
+            deterministic, rng2,
+        )
+        return x
+
+
+class InternVisionModel(nn.Module):
+    """Full encoder; returns the last hidden state [B, 1+P, C] (or the hidden
+    state at `select_layer` — `extract_feature` in the composite model selects
+    layer -1 by default, reference `modeling_internvl_chat.py:390-401`)."""
+
+    config: VisionConfig
+    precision: Precision = Precision()
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_values: jnp.ndarray,
+        deterministic: bool = True,
+        select_layer: int = -1,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        x = InternVisionEmbeddings(cfg, self.precision, name="embeddings")(
+            pixel_values
+        )
+        # stochastic-depth decay: linspace(0, drop_path_rate, L)
+        # (reference `modeling_intern_vit.py:245`)
+        n_layers = cfg.num_hidden_layers
+        if select_layer != -1:
+            # hidden_states[select_layer] = input to layer `select_layer`,
+            # i.e. run `select_layer mod (L+1)` layers
+            n_run = select_layer % (n_layers + 1)
+        else:
+            n_run = n_layers
+        for i in range(n_run):
+            rate = (
+                cfg.drop_path_rate * i / max(n_layers - 1, 1)
+                if n_layers > 1
+                else cfg.drop_path_rate
+            )
+            x = InternVisionEncoderLayer(
+                cfg, self.precision, drop_path_rate=rate, lora=self.lora,
+                name=f"layers_{i}",
+            )(x, deterministic)
+        return x

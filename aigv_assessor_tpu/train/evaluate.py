@@ -1,0 +1,182 @@
+"""Evaluation: teacher-forced quality-level decode (stage 1) and continuous
+score regression (stage 2), with the reference's exact artifact contract.
+
+Port of `CustomTrainer.evaluate` / `save_and_evaluate`
+(`/root/reference/internvl/train/internvl/train/stage1_train.py:223-337`) and
+the standalone eval entries (`internvl/eval/stage{1,2}_eval.py:893-962`):
+
+- forward is teacher-forced (argmax at gold answer positions), NOT generative
+  (`stage1_eval.py:933-941` comments out the generate path — SURVEY.md §3.3);
+- the decoded span is the last `len(filtered)` answer positions where
+  `filtered` drops -100 and the `<|im_end|>` id (`stage1_train.py:242-260`);
+- quality word -> level 1..5 ('bad'..'excellent'), else 0;
+- CSV columns `video_name,answer,output,mos,level` (+ `pred_score` for
+  stage 2), metrics TXT appended with Accuracy/SRCC/PLCC/KRCC lines
+  (`stage1_train.py:291-337`);
+- accuracy = substring match `output in answer` (`stage1_train.py:307-310`).
+
+TPU speedup over the reference's bs=1 GPU loop: batches are right-padded to a
+static bucket and evaluated in parallel; per-sample spans are recovered from
+the attention mask.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+from scipy.stats import kendalltau, pearsonr, spearmanr
+
+from aigv_assessor_tpu.data.constants import IGNORE_TOKEN_ID, QUALITY_LEVELS
+
+logger = logging.getLogger(__name__)
+
+
+def word_to_level(decoded: str) -> int:
+    """'bad'->1 ... 'excellent'->5, 0 if none (reference
+    `stage1_train.py:260-275`; checked in the reference's order so e.g.
+    'bad' wins over 'good' appearing later)."""
+    for word, level in QUALITY_LEVELS.items():
+        if word in decoded:
+            return level
+    return 0
+
+
+def decode_answer_span(
+    tokenizer,
+    pred_ids: np.ndarray,  # [S-1] argmax of shifted logits for one sample
+    shift_labels: np.ndarray,  # [S-1]
+    real_len: int,  # true (unpadded) sequence length S_real
+    im_end_id: Optional[int],
+) -> str:
+    """Reference decode slice (`stage1_train.py:242-260`): with the unpadded
+    sequence, `filtered` = answer labels minus -100/<|im_end|>, decoded from
+    argmax predictions at the last len(filtered)+1..1 positions."""
+    labels = shift_labels[: real_len - 1]
+    preds = pred_ids[: real_len - 1]
+    filtered = [
+        x for x in labels.tolist() if x != IGNORE_TOKEN_ID and x != im_end_id
+    ]
+    n = len(filtered)
+    if n == 0:
+        return ""
+    return tokenizer.decode(preds[-n - 1 : -1])
+
+
+def evaluate_batches(
+    model,
+    params,
+    batches: Iterable,
+    tokenizer,
+    stage: int = 1,
+    forward_fn=None,
+) -> List[List]:
+    """Run the eval forward over collated `Batch`es; returns reference-format
+    rows [video_name, answer, output, mos, level(, pred_score)]."""
+    im_end_id = tokenizer.convert_tokens_to_ids("<|im_end|>")
+    if forward_fn is None:
+        @jax.jit
+        def forward_fn(params, input_ids, pixel_values, attention_mask, labels, mos):
+            out = model.apply(
+                params,
+                input_ids,
+                pixel_values,
+                attention_mask=attention_mask,
+                labels=labels,
+                mos=mos,
+            )
+            ret = {"pred": jax.numpy.argmax(out["logits"][:, :-1, :], axis=-1)}
+            if stage >= 2:
+                ret["score"] = out["score"]
+            return ret
+
+    rows: List[List] = []
+    for batch in batches:
+        out = forward_fn(
+            params,
+            batch.input_ids,
+            batch.pixel_values,
+            batch.attention_mask,
+            batch.labels,
+            batch.mos,
+        )
+        preds = np.asarray(out["pred"])
+        scores = np.asarray(out["score"]) if stage >= 2 else None
+        shift_labels = batch.labels[:, 1:]
+        real_lens = batch.attention_mask.sum(axis=1)
+        for i in range(preds.shape[0]):
+            decoded = decode_answer_span(
+                tokenizer, preds[i], shift_labels[i], int(real_lens[i]), im_end_id
+            )
+            level = word_to_level(decoded)
+            row = [
+                batch.video_names[i],
+                batch.answers[i],
+                decoded,
+                float(batch.mos[i]),
+                level,
+            ]
+            if stage >= 2:
+                row.append(float(scores[i]))
+            rows.append(row)
+    return rows
+
+
+def correlation_metrics(x: Sequence[float], y: Sequence[float]) -> Dict[str, float]:
+    srcc, _ = spearmanr(x, y)
+    plcc, _ = pearsonr(x, y)
+    krcc, _ = kendalltau(x, y)
+    return {"SRCC": float(srcc), "PLCC": float(plcc), "KRCC": float(krcc)}
+
+
+def save_and_evaluate(
+    rows: List[List],
+    output_file: str = "results.csv",
+    metrics_file: str = "metrics.txt",
+    stage: int = 1,
+) -> Dict[str, float]:
+    """Write the CSV + append-mode metrics TXT with the exact reference
+    format (`stage1_train.py:291-337`, `stage2_train.py:311` adds
+    pred_score; `stage2_eval.py:676-685` adds score-based correlations)."""
+    columns = ["video_name", "answer", "output", "mos", "level"]
+    if stage >= 2:
+        columns.append("pred_score")
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    with open(output_file, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(columns)
+        w.writerows(rows)
+    logger.info("results saved to %s", output_file)
+
+    total = len(rows)
+    right = sum(1 for r in rows if r[2] in r[1])
+    accuracy = right / max(total, 1)
+
+    mos_values = [r[3] for r in rows]
+    levels = [r[4] for r in rows]
+    metrics = {"accuracy": accuracy, **correlation_metrics(mos_values, levels)}
+
+    lines = [
+        f"Accuracy: {accuracy}\n",
+        f"SRCC: {metrics['SRCC']}\n",
+        f"PLCC: {metrics['PLCC']}\n",
+        f"KRCC: {metrics['KRCC']}\n",
+    ]
+    if stage >= 2:
+        pred_scores = [r[5] for r in rows]
+        score_corr = correlation_metrics(mos_values, pred_scores)
+        metrics.update({f"{k}_score": v for k, v in score_corr.items()})
+        lines += [
+            f"SRCC_score: {score_corr['SRCC']}\n",
+            f"PLCC_score: {score_corr['PLCC']}\n",
+            f"KRCC_score: {score_corr['KRCC']}\n",
+        ]
+    with open(metrics_file, "a") as f:
+        f.writelines(lines)
+    for k, v in metrics.items():
+        logger.info("%s: %s", k, v)
+    return metrics

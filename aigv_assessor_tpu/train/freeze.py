@@ -1,0 +1,73 @@
+"""Parameter freeze masks.
+
+Reproduces the reference freeze logic as pure path predicates over the flax
+param tree:
+
+- stage-1 (`stage1_train.py:902-934`): ViT backbone + SlowFast + LLM frozen;
+  `mlp1` + `motion_mlp` trainable (flags freeze_backbone / freeze_llm /
+  freeze_mlp mirror `--freeze_*`).
+- stage-2 (`stage2_train.py:946-968`): everything frozen except LoRA adapter
+  leaves and the `mlpscore` head.
+
+The trainable mask feeds `optax.masked` so frozen parameters carry no
+optimizer state (the memory win the reference got from ZeRO-1 comes here from
+masking + fsdp sharding).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+
+from aigv_assessor_tpu.models.lora import is_lora_param_path
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def make_trainable_mask(
+    params: Any,
+    stage: int,
+    freeze_backbone: bool = True,
+    freeze_llm: bool = True,
+    freeze_mlp: bool = False,
+    unfreeze_lm_head: bool = False,
+) -> Any:
+    """Pytree of bools (True = trainable), same structure as params."""
+
+    def trainable(path, leaf) -> bool:
+        p = _path_str(path)
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        if "slowfast_model" in p:
+            return False  # always frozen (reference torch.no_grad)
+        if is_lora_param_path(keys):
+            return True
+        if stage >= 2:
+            return "mlpscore" in p
+        # stage 1
+        if p.startswith("params/mlp1") or "/mlp1/" in p or p.startswith("mlp1"):
+            return not freeze_mlp
+        if "motion_mlp" in p:
+            return not freeze_mlp
+        if "vision_model" in p:
+            return not freeze_backbone
+        if "language_model" in p:
+            if unfreeze_lm_head and ("output" in p or "tok_embeddings" in p):
+                return True
+            return not freeze_llm
+        return False
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def count_params(params: Any, mask: Any = None) -> Dict[str, int]:
+    total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    if mask is None:
+        return {"total": total, "trainable": total}
+    pairs = zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(mask)
+    )
+    trainable = sum(x.size for x, m in pairs if m)
+    return {"total": total, "trainable": trainable}

@@ -1,0 +1,77 @@
+"""Benchmark: ViT-300M frame-encode throughput at bs=64 on one chip.
+
+BASELINE.md config #3 ("Batched AIGVQA-DB inference: fused frame pipeline +
+ViT encode at bs=64 on one v5p chip"); the headline metric family is
+"videos scored/sec/chip; ViT frames/sec encode" (BASELINE.json).
+
+vs_baseline: the reference has NO published numbers (BASELINE.md). The
+comparison point is an analytic A100 estimate for the same encoder:
+InternViT-300M at 448px is ~0.71 TFLOP/frame forward (2 * 0.303e9 params *
+1025 tokens + attention ~0.09 TFLOP); at a realistic 45% bf16 MFU on A100
+(312 TFLOP/s peak) that is ~198 frames/s. vs_baseline = measured / 198.
+
+Runs on whatever jax.devices() provides (the tunneled TPU chip under axon);
+do not run concurrently with other TPU processes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REF_FRAMES_PER_SEC = 198.0
+
+
+def main() -> None:
+    from aigv_assessor_tpu.core.config import VisionConfig
+    from aigv_assessor_tpu.core.precision import Precision
+    from aigv_assessor_tpu.models.vit import InternVisionModel
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = VisionConfig()  # full InternViT-300M, 448px
+    batch = 64
+    if not on_tpu:  # CPU smoke fallback so the script always emits a line
+        cfg = VisionConfig.tiny()
+        batch = 8
+
+    model = InternVisionModel(cfg, Precision())
+    rng = jax.random.key(0)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, cfg.image_size, cfg.image_size, 3)),
+        jnp.bfloat16,
+    )
+    params = jax.jit(model.init)(rng, x)
+
+    @jax.jit
+    def encode(params, x):
+        return model.apply(params, x)
+
+    # warmup + compile
+    encode(params, x).block_until_ready()
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = encode(params, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vit_encode_frames_per_sec",
+                "value": round(frames_per_sec, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(frames_per_sec / A100_REF_FRAMES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+#!/bin/bash
+# Stage-1 evaluation launcher.
+# TPU-native counterpart of /root/reference/shell/eval/stage1_eval.sh.
+set -x
+
+export PYTHONPATH="${PYTHONPATH}:$(cd "$(dirname "$0")/../.." && pwd)"
+export TF_CPP_MIN_LOG_LEVEL=3
+
+OUTPUT_DIR=${OUTPUT_DIR:-'work_dirs/aigv_tpu/mos1_stage1_eval'}
+mkdir -p "$OUTPUT_DIR"
+
+python -m aigv_assessor_tpu.cli.stage1_eval \
+  --model_name_or_path "${MODEL_PATH:-work_dirs/aigv_tpu/mos1_stage1}" \
+  --conv_style "internlm2-chat" \
+  --output_dir ${OUTPUT_DIR} \
+  --meta_path "${META_PATH:-shell/data/my_eval.json}" \
+  --output_file "mos1_test_answer_best.csv" \
+  --metrics_file "metrics.txt" \
+  --force_image_size 448 \
+  --down_sample_ratio 0.5 \
+  --drop_path_rate 0.0 \
+  --vision_select_layer -1 \
+  --dataloader_num_workers 4 \
+  --bf16 True \
+  --max_seq_length 4096 \
+  --group_by_length True \
+  --ps_version 'v2' \
+  --eval_batch_size ${EVAL_BATCH_SIZE:-8} \
+  "$@" \
+  2>&1 | tee -a "${OUTPUT_DIR}/eval_log.txt"
