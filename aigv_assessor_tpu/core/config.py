@@ -262,7 +262,16 @@ class AssessorConfig:
         if "vision_config" in d:
             d["vision"] = VisionConfig.from_dict(d.pop("vision_config"))
         if "llm_config" in d:
-            d["llm"] = LLMConfig.from_dict(d.pop("llm_config"))
+            llm_d = d.pop("llm_config")
+            archs = llm_d.get("architectures") or [llm_d.get("architecture", "")]
+            # dispatch like the reference composite config
+            # (`configuration_internvl_chat.py:56-63`)
+            if archs and archs[0] == "Phi3ForCausalLM":
+                from aigv_assessor_tpu.models.phi3 import Phi3Config
+
+                d["llm"] = Phi3Config.from_dict(llm_d)
+            else:
+                d["llm"] = LLMConfig.from_dict(llm_d)
         return cls(**_filter_kwargs(cls, d))
 
     @classmethod

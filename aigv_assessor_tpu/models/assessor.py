@@ -132,9 +132,16 @@ class AIGVAssessor(nn.Module):
         self.vision_model = InternVisionModel(
             cfg.vision, self.precision, lora=vit_lora, name="vision_model"
         )
-        self.language_model = InternLM2ForCausalLM(
-            cfg.llm, self.precision, lora=llm_lora, name="language_model"
-        )
+        if getattr(cfg.llm, "architecture", "") == "Phi3ForCausalLM":
+            from aigv_assessor_tpu.models.phi3 import Phi3ForCausalLM
+
+            self.language_model = Phi3ForCausalLM(
+                cfg.llm, self.precision, lora=llm_lora, name="language_model"
+            )
+        else:
+            self.language_model = InternLM2ForCausalLM(
+                cfg.llm, self.precision, lora=llm_lora, name="language_model"
+            )
         self.mlp1 = ProjectorMLP(cfg.llm.hidden_size, self.precision, name="mlp1")
         self.motion_mlp = ProjectorMLP(
             cfg.llm.hidden_size, self.precision, name="motion_mlp"
@@ -265,12 +272,16 @@ class AIGVAssessor(nn.Module):
 
     # ------------------------------------------------------------ decoding --
 
+    def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.language_model.embed(input_ids)
+
     def prefill(
         self,
         input_embeds: jnp.ndarray,
         cache: KVCache,
         attention_mask: Optional[jnp.ndarray] = None,
         position_ids: Optional[jnp.ndarray] = None,
+        kv_mask: Optional[jnp.ndarray] = None,
     ):
         """Run the prompt through the LLM, filling the KV cache."""
         return self.language_model(
@@ -278,8 +289,20 @@ class AIGVAssessor(nn.Module):
             attention_mask=attention_mask,
             position_ids=position_ids,
             cache=cache,
+            kv_mask=kv_mask,
         )
 
-    def decode_step(self, token_ids: jnp.ndarray, cache: KVCache):
+    def decode_step(
+        self,
+        token_ids: jnp.ndarray,
+        cache: KVCache,
+        kv_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+    ):
         """One autoregressive step; token_ids [B, 1]."""
-        return self.language_model(input_ids=token_ids, cache=cache)
+        return self.language_model(
+            input_ids=token_ids,
+            cache=cache,
+            kv_mask=kv_mask,
+            position_ids=position_ids,
+        )

@@ -1,0 +1,301 @@
+"""Autoregressive generation: greedy/sampled decode with a fixed KV cache,
+plus the chat-level prompt APIs.
+
+TPU-native equivalent of the reference's generative surface
+(`/root/reference/internvl/model/internvl_chat/modeling_internvl_chat.py`):
+
+- `generate()` (lines 646-688): splice ViT embeds into ALL <IMG_CONTEXT>
+  slots (no motion token on this path — a reference quirk we keep, see
+  SURVEY.md §3.5) then `language_model.generate(use_cache=True)`.
+- `chat()` / `batch_chat()` (lines 411-514): template rendering, `<image>`
+  -> <img> + 256*n <IMG_CONTEXT> + </img> expansion, left-padded batching,
+  response split at the template separator.
+- `chat2()` (lines 515-644): the motion-aware variant used for video
+  scoring: the last context slot carries the SlowFast embedding.
+
+TPU design: instead of HF's growing `past_key_values`, decode runs a
+`lax.while_loop` over a fixed-capacity cache with one compiled step program;
+stopping is data-driven (all rows hit eos / max_new_tokens) inside the loop,
+so the whole decode is a single device computation — no per-token host round
+trips (which matter doubly through a tunneled chip).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aigv_assessor_tpu.data.constants import (
+    IMG_CONTEXT_TOKEN,
+    IMG_END_TOKEN,
+    IMG_START_TOKEN,
+)
+from aigv_assessor_tpu.data.conversation import get_conv_template
+from aigv_assessor_tpu.models.internlm2 import KVCache
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 64
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0  # 0 = off
+    eos_token_id: int = 2
+
+
+def _sample_token(logits, rng, gcfg: GenerationConfig):
+    if not gcfg.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / jnp.maximum(gcfg.temperature, 1e-6)
+    if gcfg.top_k > 0:
+        top = jax.lax.top_k(logits, gcfg.top_k)[0][..., -1:]
+        logits = jnp.where(logits < top, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def decode_loop(
+    model,
+    params,
+    first_token: jnp.ndarray,  # [B]
+    cache: KVCache,
+    start_pos: jnp.ndarray,  # [B] RoPE position of the first generated token
+    kv_mask: jnp.ndarray,  # [B, max_len]
+    rng: jax.Array,
+    gcfg: GenerationConfig,
+) -> jnp.ndarray:
+    """Greedy/sampled decode; returns [B, max_new_tokens] (eos-padded).
+
+    One `lax.while_loop` on device — no per-token host round trips."""
+    b = first_token.shape[0]
+    tokens0 = jnp.full((b, gcfg.max_new_tokens), gcfg.eos_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first_token.astype(jnp.int32))
+    finished0 = first_token == gcfg.eos_token_id
+
+    def cond(state):
+        i, _, _, finished, _ = state
+        return (i < gcfg.max_new_tokens - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, cache, finished, rng = state
+        cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)  # [B, 1]
+        logits, _, cache = model.apply(
+            params,
+            cur,
+            cache,
+            kv_mask,
+            position_ids=(start_pos + i)[:, None],
+            method="decode_step",
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_token(logits[:, -1, :], sub, gcfg).astype(jnp.int32)
+        nxt = jnp.where(finished, gcfg.eos_token_id, nxt)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], i + 1, axis=1
+        )
+        finished = finished | (nxt == gcfg.eos_token_id)
+        return i + 1, tokens, cache, finished, rng
+
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (0, tokens0, cache, finished0, rng)
+    )
+    return tokens
+
+
+def generate(
+    model,
+    params,
+    tokenizer,
+    input_ids: np.ndarray,  # [B, S] (left-padded)
+    pixel_values: Optional[np.ndarray] = None,  # [B, T, H, W, 3]
+    attention_mask: Optional[np.ndarray] = None,
+    gcfg: Optional[GenerationConfig] = None,
+    with_motion: bool = False,
+    max_cache_len: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Prefill + decode; returns generated token ids [B, max_new_tokens].
+
+    with_motion=False reproduces the reference `generate()` quirk (all ctx
+    slots get ViT embeds); True is the `chat2` motion-aware path.
+    """
+    gcfg = gcfg or GenerationConfig(eos_token_id=tokenizer.eos_token_id)
+    rng = rng if rng is not None else jax.random.key(0)
+    input_ids = jnp.asarray(input_ids, jnp.int32)
+    b, s = input_ids.shape
+    max_len = max_cache_len or (s + gcfg.max_new_tokens)
+
+    if pixel_values is not None:
+        embeds = model.apply(
+            params,
+            input_ids,
+            jnp.asarray(pixel_values),
+            method="embed_multimodal",
+            with_motion=with_motion,
+        )
+    else:
+        embeds = model.apply(params, input_ids, method="embed_tokens")
+
+    cache = KVCache.init(model.config.llm, b, max_len)
+    kv_mask = jnp.ones((b, max_len), bool)
+    if attention_mask is None:
+        position_ids = None
+        start_pos = jnp.full((b,), s, jnp.int32)
+    else:
+        # left padding: positions count real tokens (HF convention); padded
+        # cache slots are masked out of attention
+        am = jnp.asarray(attention_mask, jnp.int32)
+        position_ids = jnp.clip(jnp.cumsum(am, axis=1) - 1, 0)
+        start_pos = am.sum(axis=1)
+        kv_mask = kv_mask.at[:, :s].set(am.astype(bool))
+    logits, _, cache = model.apply(
+        params,
+        embeds,
+        cache,
+        position_ids=position_ids,
+        kv_mask=kv_mask,
+        method="prefill",
+    )
+    first = _sample_token(logits[:, -1, :], rng, gcfg)
+    tokens = decode_loop(
+        model, params, first, cache, start_pos, kv_mask, rng, gcfg
+    )
+    return np.asarray(tokens)
+
+
+# ------------------------------------------------------------- chat APIs ----
+
+
+def build_query(
+    template_name: str,
+    question: str,
+    num_patches_list: Sequence[int],
+    num_image_token: int,
+    history: Optional[List[Tuple[str, str]]] = None,
+    system_message: Optional[str] = None,
+) -> str:
+    """Render the prompt with image-token expansion (reference `chat`,
+    `modeling_internvl_chat.py:474-492`)."""
+    if num_patches_list and "<image>" not in question:
+        question = "<image>\n" + question
+    template = get_conv_template(template_name)
+    if system_message is not None:
+        template.system_message = system_message
+    for old_q, old_a in history or []:
+        template.append_message(template.roles[0], old_q)
+        template.append_message(template.roles[1], old_a)
+    template.append_message(template.roles[0], question)
+    template.append_message(template.roles[1], None)
+    query = template.get_prompt()
+    for n in num_patches_list:
+        image_tokens = (
+            IMG_START_TOKEN + IMG_CONTEXT_TOKEN * num_image_token * n + IMG_END_TOKEN
+        )
+        query = query.replace("<image>", image_tokens, 1)
+    return query
+
+
+def chat(
+    model,
+    params,
+    tokenizer,
+    pixel_values: Optional[np.ndarray],  # [T, H, W, 3] for one sample
+    question: str,
+    gcfg: Optional[GenerationConfig] = None,
+    history: Optional[List[Tuple[str, str]]] = None,
+    return_history: bool = False,
+    num_patches_list: Optional[List[int]] = None,
+    with_motion: bool = False,
+):
+    """Single-sample chat (reference `chat`, lines 460-514)."""
+    template = get_conv_template(model.config.template)
+    if num_patches_list is None:
+        num_patches_list = (
+            [pixel_values.shape[0]] if pixel_values is not None else []
+        )
+    if with_motion and pixel_values is not None:
+        # chat2 layout (video scoring): Frame{i}: <image> lines + a single-
+        # token motion slot, expanded with per-image counts like the training
+        # preprocessor (`stage1_train.py:559-563`)
+        from aigv_assessor_tpu.data.preprocess import expand_image_tokens
+
+        frames = pixel_values.shape[0]
+        blocks = "\n".join(f"Frame{i + 1}: <image>" for i in range(frames))
+        question = (
+            blocks + "\nMotion Feature: <image>\n" + question.replace("<image>", "")
+        )
+        query = build_query(model.config.template, question, [], 0, history)
+        query = expand_image_tokens(
+            query, [model.config.num_image_token] * frames + [1]
+        )
+    else:
+        query = build_query(
+            model.config.template,
+            question,
+            num_patches_list,
+            model.config.num_image_token,
+            history,
+        )
+    ids = np.asarray([tokenizer.encode(query)], np.int32)
+    px = pixel_values[None] if pixel_values is not None else None
+    gcfg = gcfg or GenerationConfig(
+        eos_token_id=tokenizer.convert_tokens_to_ids(template.sep)
+        or tokenizer.eos_token_id
+    )
+    out = generate(
+        model, params, tokenizer, ids, px, gcfg=gcfg, with_motion=with_motion
+    )
+    response = tokenizer.decode(out[0], skip_special_tokens=True)
+    response = response.split(template.sep)[0].strip()
+    new_history = (history or []) + [(question, response)]
+    return (response, new_history) if return_history else response
+
+
+def batch_chat(
+    model,
+    params,
+    tokenizer,
+    pixel_values: Optional[np.ndarray],  # [B, T, H, W, 3]
+    questions: List[str],
+    gcfg: Optional[GenerationConfig] = None,
+    num_patches_list: Optional[List[int]] = None,
+) -> List[str]:
+    """Batched single-turn chat with left padding (reference `batch_chat`,
+    lines 411-458)."""
+    template = get_conv_template(model.config.template)
+    b = len(questions)
+    if num_patches_list is None:
+        num_patches_list = (
+            [pixel_values.shape[1]] * b if pixel_values is not None else [0] * b
+        )
+    queries = [
+        build_query(
+            model.config.template,
+            q,
+            [n] if n else [],
+            model.config.num_image_token,
+        )
+        for q, n in zip(questions, num_patches_list)
+    ]
+    encoded = [tokenizer.encode(q) for q in queries]
+    max_len = max(len(e) for e in encoded)
+    pad = tokenizer.pad_token_id
+    ids = np.full((b, max_len), pad, np.int32)
+    mask = np.zeros((b, max_len), np.int32)
+    for i, e in enumerate(encoded):  # left padding
+        ids[i, max_len - len(e):] = e
+        mask[i, max_len - len(e):] = 1
+    gcfg = gcfg or GenerationConfig(
+        eos_token_id=tokenizer.convert_tokens_to_ids(template.sep)
+        or tokenizer.eos_token_id
+    )
+    out = generate(
+        model, params, tokenizer, ids, pixel_values, attention_mask=mask, gcfg=gcfg
+    )
+    responses = tokenizer.batch_decode(out, skip_special_tokens=True)
+    return [r.split(template.sep)[0].strip() for r in responses]

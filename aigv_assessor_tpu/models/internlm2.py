@@ -86,6 +86,7 @@ class InternLM2Attention(nn.Module):
         cache_k: Optional[jnp.ndarray] = None,  # [B, max_len, Hkv, d]
         cache_v: Optional[jnp.ndarray] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        kv_mask: Optional[jnp.ndarray] = None,  # [B, max_len] bool (pad slots False)
         deterministic: bool = True,
     ):
         cfg = self.config
@@ -116,11 +117,18 @@ class InternLM2Attention(nn.Module):
             )
             new_cache = (cache_k, cache_v)
             max_len = cache_k.shape[1]
-            kv_pos = jnp.arange(max_len)
-            # key j valid iff j < index + s and (causal) j <= query position
-            q_pos = position_ids  # [B, S]
-            valid = kv_pos[None, None, :] <= q_pos[:, :, None]
-            valid = valid & (kv_pos[None, None, :] < cache_index + s)
+            kv_slot = jnp.arange(max_len)
+            # slot-based causality (slots are fill-ordered; RoPE positions may
+            # differ from slots under left padding): key slot j is visible to
+            # current query row i iff j <= cache_index + i
+            q_row = jnp.arange(s)
+            valid = kv_slot[None, None, :] <= (cache_index + q_row)[None, :, None]
+            valid = jnp.broadcast_to(valid, (b, s, max_len))
+            if kv_mask is not None:
+                # left-padded prompts: padded cache slots are never attended
+                # (replaces the reference FA2 unpad path,
+                # modeling_internlm2.py:556-573)
+                valid = valid & kv_mask[:, None, :]
             out = multi_head_attention(
                 q, cache_k, cache_v, causal=False, mask=valid, impl="xla"
             )
@@ -184,6 +192,7 @@ class InternLM2DecoderLayer(nn.Module):
         cache_k=None,
         cache_v=None,
         cache_index=None,
+        kv_mask=None,
         deterministic: bool = True,
     ):
         cfg = self.config
@@ -198,6 +207,7 @@ class InternLM2DecoderLayer(nn.Module):
             cache_k,
             cache_v,
             cache_index,
+            kv_mask,
             deterministic,
         )
         x = x + attn_out
@@ -249,6 +259,7 @@ class InternLM2ForCausalLM(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
         position_ids: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
+        kv_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         rope_len: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[KVCache]]:
@@ -282,7 +293,8 @@ class InternLM2ForCausalLM(nn.Module):
             cv = cache.v[i] if cache is not None else None
             ci = cache.index if cache is not None else None
             x, layer_cache = layer(
-                x, cos, sin, position_ids, attention_mask, ck, cv, ci, deterministic
+                x, cos, sin, position_ids, attention_mask, ck, cv, ci, kv_mask,
+                deterministic,
             )
             if layer_cache is not None:
                 new_k.append(layer_cache[0])

@@ -183,7 +183,8 @@ def pack_pathways(frames: jnp.ndarray, alpha: int) -> Tuple[jnp.ndarray, jnp.nda
     (`modeling_internvl_chat.py:89-97`).
     """
     t = frames.shape[1]
-    idx = np.linspace(0, t - 1, t // alpha).astype(np.int64)
+    n_slow = max(1, t // alpha)  # guard T < alpha (the reference would crash)
+    idx = np.linspace(0, t - 1, n_slow).astype(np.int64)
     return frames[:, idx], frames
 
 

@@ -1,0 +1,312 @@
+"""Phi-3 decoder (alternative LLM backbone).
+
+Behavioral port of `/root/reference/internvl/model/phi3/modeling_phi3.py`
+(selectable in the composite model via `llm_config.architectures`, reference
+`configuration_internvl_chat.py:56-63` and `wrap_llm_lora` targets
+`mlp.down_proj, mlp.gate_up_proj, self_attn.o_proj, self_attn.qkv_proj`):
+
+- fused, NON-interleaved qkv_proj (plain [q | k | v] concat — unlike
+  InternLM2's interleaved wqkv), fused gate_up_proj ([gate | up]);
+- RMSNorm, SwiGLU (silu(gate) * up -> down_proj);
+- RoPE with optional 'su'/'longrope' scaling: separate short/long inv-freq
+  factor tables and the sqrt(1 + log(s)/log(orig_max)) attention scaling
+  (reference Phi3SuScaledRotaryEmbedding);
+- same fixed-capacity KV-cache/flash-attention plumbing as the InternLM2
+  module (shared ops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aigv_assessor_tpu.core.precision import Precision
+from aigv_assessor_tpu.core.config import LoRAConfig
+from aigv_assessor_tpu.models.internlm2 import KVCache, RMSNorm
+from aigv_assessor_tpu.models.lora import LoRADense
+from aigv_assessor_tpu.ops.attention import multi_head_attention
+from aigv_assessor_tpu.ops.rope import apply_rope
+
+
+def _filter(cls, d):
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+@dataclass(frozen=True)
+class Phi3Config:
+    architecture: str = "Phi3ForCausalLM"
+    vocab_size: int = 32064
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    hidden_act: str = "silu"
+    max_position_embeddings: int = 131072
+    original_max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling_type: Optional[str] = None  # 'su' | 'longrope' | None
+    rope_short_factor: Optional[Tuple[float, ...]] = None
+    rope_long_factor: Optional[Tuple[float, ...]] = None
+    tie_word_embeddings: bool = False
+    bos_token_id: int = 1
+    eos_token_id: int = 32000
+    pad_token_id: int = 32000
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_dict(cls, d) -> "Phi3Config":
+        d = dict(d)
+        if d.get("architectures"):
+            d["architecture"] = d["architectures"][0]
+        rs = d.get("rope_scaling")
+        if isinstance(rs, dict):
+            d["rope_scaling_type"] = rs.get("type")
+            if rs.get("short_factor"):
+                d["rope_short_factor"] = tuple(rs["short_factor"])
+            if rs.get("long_factor"):
+                d["rope_long_factor"] = tuple(rs["long_factor"])
+        return cls(**_filter(cls, d))
+
+    @classmethod
+    def tiny(cls) -> "Phi3Config":
+        return cls(
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=4096,
+            original_max_position_embeddings=2048,
+        )
+
+
+def phi3_rope_tables(cfg: Phi3Config, seq_len: int, dtype=jnp.float32):
+    """cos/sin with su/longrope factor tables + attention scaling
+    (reference Phi3SuScaledRotaryEmbedding)."""
+    dim = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, dim, 2, dtype=np.float32) / dim)
+    )
+    scale_mult = 1.0
+    if cfg.rope_scaling_type in ("su", "longrope"):
+        if seq_len > cfg.original_max_position_embeddings and cfg.rope_long_factor:
+            factors = np.asarray(cfg.rope_long_factor, np.float32)
+        elif cfg.rope_short_factor:
+            factors = np.asarray(cfg.rope_short_factor, np.float32)
+        else:
+            factors = np.ones_like(inv_freq)
+        inv_freq = inv_freq / factors
+        scale = cfg.max_position_embeddings / cfg.original_max_position_embeddings
+        if scale > 1.0:
+            scale_mult = float(
+                np.sqrt(
+                    1.0
+                    + np.log(scale) / np.log(cfg.original_max_position_embeddings)
+                )
+            )
+    t = np.arange(seq_len, dtype=np.float32)
+    freqs = np.outer(t, inv_freq)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return (
+        jnp.asarray(np.cos(emb) * scale_mult, dtype),
+        jnp.asarray(np.sin(emb) * scale_mult, dtype),
+    )
+
+
+class Phi3Attention(nn.Module):
+    config: Phi3Config
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(
+        self, x, cos, sin, position_ids, attention_mask=None,
+        cache_k=None, cache_v=None, cache_index=None, kv_mask=None,
+        deterministic=True,
+    ):
+        cfg = self.config
+        b, s, c = x.shape
+        hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        qkv = LoRADense(
+            (hq + 2 * hkv) * d,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="qkv_proj",
+        )(x, deterministic)
+        q = qkv[..., : hq * d].reshape(b, s, hq, d)
+        k = qkv[..., hq * d : (hq + hkv) * d].reshape(b, s, hkv, d)
+        v = qkv[..., (hq + hkv) * d :].reshape(b, s, hkv, d)
+        q, k = apply_rope(q, k, cos, sin, position_ids)
+
+        new_cache = None
+        if cache_k is not None:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            )
+            new_cache = (cache_k, cache_v)
+            max_len = cache_k.shape[1]
+            kv_slot = jnp.arange(max_len)
+            q_row = jnp.arange(s)
+            valid = kv_slot[None, None, :] <= (cache_index + q_row)[None, :, None]
+            valid = jnp.broadcast_to(valid, (b, s, max_len))
+            if kv_mask is not None:
+                valid = valid & kv_mask[:, None, :]
+            out = multi_head_attention(
+                q, cache_k, cache_v, causal=False, mask=valid, impl="xla"
+            )
+        else:
+            out = multi_head_attention(q, k, v, causal=True)
+        out = out.reshape(b, s, hq * d)
+        return (
+            LoRADense(
+                c, dtype=self.precision.compute_dtype, lora=self.lora,
+                name="o_proj",
+            )(out, deterministic),
+            new_cache,
+        )
+
+
+class Phi3MLP(nn.Module):
+    config: Phi3Config
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        gate_up = LoRADense(
+            2 * cfg.intermediate_size,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="gate_up_proj",
+        )(x, deterministic)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        return LoRADense(
+            cfg.hidden_size,
+            dtype=self.precision.compute_dtype,
+            lora=self.lora,
+            name="down_proj",
+        )(nn.silu(gate) * up, deterministic)
+
+
+class Phi3DecoderLayer(nn.Module):
+    config: Phi3Config
+    precision: Precision
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(
+        self, x, cos, sin, position_ids, attention_mask=None,
+        cache_k=None, cache_v=None, cache_index=None, kv_mask=None,
+        deterministic=True,
+    ):
+        cfg = self.config
+        attn_out, new_cache = Phi3Attention(
+            cfg, self.precision, self.lora, name="self_attn"
+        )(
+            RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="input_layernorm")(x),
+            cos, sin, position_ids, attention_mask,
+            cache_k, cache_v, cache_index, kv_mask, deterministic,
+        )
+        x = x + attn_out
+        mlp_out = Phi3MLP(cfg, self.precision, self.lora, name="mlp")(
+            RMSNorm(
+                cfg.hidden_size, cfg.rms_norm_eps, name="post_attention_layernorm"
+            )(x),
+            deterministic,
+        )
+        return x + mlp_out, new_cache
+
+
+class Phi3ForCausalLM(nn.Module):
+    """Same (logits, hidden, cache) interface as InternLM2ForCausalLM so the
+    composite model can swap backbones."""
+
+    config: Phi3Config
+    precision: Precision = Precision()
+    lora: Optional[LoRAConfig] = None
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=self.precision.compute_dtype,
+            param_dtype=jnp.float32,
+            name="embed_tokens",
+        )
+        self.layers = [
+            Phi3DecoderLayer(cfg, self.precision, self.lora, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")
+        self.lm_head = nn.Dense(
+            cfg.vocab_size,
+            use_bias=False,
+            dtype=self.precision.compute_dtype,
+            param_dtype=jnp.float32,
+            name="lm_head",
+        )
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        input_ids=None,
+        inputs_embeds=None,
+        attention_mask=None,
+        position_ids=None,
+        cache: Optional[KVCache] = None,
+        kv_mask=None,
+        deterministic: bool = True,
+        rope_len: Optional[int] = None,
+    ):
+        cfg = self.config
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        b, s, _ = inputs_embeds.shape
+        if position_ids is None:
+            start = cache.index if cache is not None else 0
+            position_ids = start + jnp.arange(s, dtype=jnp.int32)[None, :]
+            position_ids = jnp.broadcast_to(position_ids, (b, s))
+        if rope_len is None:
+            rope_len = cache.k[0].shape[1] if cache is not None else s
+        cos, sin = phi3_rope_tables(cfg, rope_len)
+
+        x = inputs_embeds.astype(self.precision.compute_dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            ck = cache.k[i] if cache is not None else None
+            cv = cache.v[i] if cache is not None else None
+            ci = cache.index if cache is not None else None
+            x, layer_cache = layer(
+                x, cos, sin, position_ids, attention_mask, ck, cv, ci, kv_mask,
+                deterministic,
+            )
+            if layer_cache is not None:
+                new_k.append(layer_cache[0])
+                new_v.append(layer_cache[1])
+        hidden = self.norm(x)
+        logits = self.lm_head(hidden).astype(self.precision.logits_dtype)
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
+        return logits, hidden, new_cache

@@ -24,8 +24,13 @@ _NEG_INF = -1e30
 
 
 def _on_tpu() -> bool:
+    """True on real TPU backends, including the 'axon' tunneled PJRT plugin
+    (whose backend name is not 'tpu' but whose devices are TPU chips)."""
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() == "tpu":
+            return True
+        dev = jax.devices()[0]
+        return "tpu" in getattr(dev, "device_kind", "").lower()
     except Exception:  # pragma: no cover
         return False
 

@@ -3,24 +3,25 @@
 TPU-native replacement for the reference's CUDA flash-attn kernels
 (`/root/reference/internvl/model/internvl_chat/flash_attention.py` for the
 non-causal ViT path, `modeling_internlm2.py:444-614` for the causal GQA
-decoder path). Design follows the standard online-softmax tiling:
+decoder path). Standard online-softmax tiling:
 
-- grid (B, Hq, num_q_blocks); each program owns one q tile in VMEM and
-  streams K/V tiles for its kv head (GQA maps q head h -> kv head h // G in
-  the BlockSpec index map, so repeated K/V heads are never materialized).
-- running (row-max m, row-sum l, accumulator acc) carried through a
-  `lax.fori_loop`; all softmax math in fp32 on the VPU, the two matmuls per
-  tile (q·kT and p·v) on the MXU with fp32 accumulation.
-- causal masking trims the kv loop to the blocks at-or-below the diagonal;
-  tail keys beyond the true (pre-padding) length are masked with a static
-  `kv_valid` bound, replacing cu_seqlens/varlen packing.
-- backward is the standard two-kernel scheme (dq; dk/dv) using the saved
-  logsumexp and delta = rowsum(dout * out). dk/dv are emitted per *query*
-  head and group-summed outside the kernel (G is small: 4 for InternLM2
-  32q/8kv heads).
-
-Sequence lengths are padded to the tile size outside the kernel; padded query
-rows produce garbage that callers slice off, padded key columns are masked.
+- arrays are laid out [B*H, S, D] (heads folded into the leading grid dim) so
+  every BlockSpec's trailing two dims are (seq_tile, D) — seq_tile a multiple
+  of 8 and D equal to the full array dim, satisfying Mosaic's tiling rules;
+- grid (B*Hq, num_q_blocks); each program owns one q tile in VMEM and streams
+  K/V tiles of its kv head. GQA maps q row bh -> kv row
+  (bh // Hq) * Hkv + (bh % Hq) // G inside the BlockSpec index map, so
+  repeated K/V heads are never materialized in HBM;
+- running (row-max m, row-sum l, accumulator acc) carried through
+  `lax.fori_loop`; softmax math in fp32 on the VPU, the two matmuls per tile
+  (q·kT, p·v) on the MXU with fp32 accumulation;
+- causal masking trims the kv loop to blocks at-or-below the diagonal; tail
+  keys beyond the true (pre-padding) length are masked against a static
+  `kv_valid` bound — replacing cu_seqlens/varlen packing (the pipeline pads
+  to static lengths anyway, `dataset.py:637`);
+- backward is the standard two-kernel scheme (dq; dk/dv) from the saved
+  logsumexp and delta = rowsum(dout * out); dk/dv are produced per *query*
+  head and group-summed outside (G = 4 for InternLM2's 32q/8kv).
 """
 
 from __future__ import annotations
@@ -34,8 +35,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
 _NEG_INF = -1e30
 
 
@@ -43,7 +44,7 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+def _pad_dim(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     size = x.shape[axis]
     target = _cdiv(size, multiple) * multiple
     if target == size:
@@ -63,9 +64,8 @@ def supported(q, k, v, mask) -> bool:
     _, skv, hkv, dk = k.shape
     if d != dk or hq % hkv != 0:
         return False
-    if d not in (64, 128, 256):
+    if d % 128 != 0 and d not in (64,):
         return False
-    # tiny shapes aren't worth a kernel launch and break tile minimums
     if sq < 8 or skv < 8:
         return False
     return True
@@ -75,15 +75,14 @@ def supported(q, k, v, mask) -> bool:
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal, kv_valid, block_k, sq, skv
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal, kv_valid, block_k
 ):
-    q = q_ref[0, :, 0, :]  # [BQ, D]
+    q = q_ref[0]  # [BQ, D]
     block_q = q.shape[0]
-    qi = pl.program_id(2)
+    qi = pl.program_id(1)
     num_k_blocks = _cdiv(kv_valid, block_k)
 
     if causal:
-        # self-attention only (sq == skv): highest kv block this q tile needs
         last_needed = lax.div((qi + 1) * block_q - 1, block_k) + 1
         upper = jnp.minimum(last_needed, num_k_blocks)
     else:
@@ -97,14 +96,11 @@ def _fwd_kernel(
 
     def body(j, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), 0, :]  # [BK, D]
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), 0, :]
-        s = jax.lax.dot_general(
-            q,
-            k_blk,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # [BK, D]
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
         s = s * scale
 
         col_ids = j * block_k + lax.broadcasted_iota(
@@ -119,26 +115,41 @@ def _fwd_kernel(
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
+        pv = lax.dot_general(
             p.astype(v_blk.dtype),
             v_blk,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_new = acc * corr + pv
-        return m_new, l_new, acc_new
+        return m_new, l_new, acc * corr + pv
 
     m, l, acc = lax.fori_loop(0, upper, body, (m0, l0, acc0))
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, :, 0, :] = (acc / l_safe).astype(o_ref.dtype)
-    lse = m + jnp.log(l_safe)
-    lse = jnp.where(l == 0.0, _NEG_INF, lse)
-    lse_ref[0, 0, :] = lse[:, 0]
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(l_safe))
+    lse_ref[0] = lse  # [BQ, 1]
+
+
+def _to_bhsd(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, H, D] -> [B*H, S, D]."""
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from_bhsd(x: jnp.ndarray, b: int, h: int) -> jnp.ndarray:
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _kv_index(bh, hq: int, hkv: int):
+    """q row -> kv row (GQA group mapping)."""
+    g = hq // hkv
+    return (bh // hq) * hkv + (bh % hq) // g
 
 
 def _fwd(
-    q: jnp.ndarray,
+    q: jnp.ndarray,  # [B, Sq, Hq, D]
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
@@ -149,61 +160,47 @@ def _fwd(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, sq_orig, hq, d = q.shape
     _, skv_orig, hkv, _ = k.shape
-    g = hq // hkv
 
-    q = _pad_to(q, 1, block_q)
-    k = _pad_to(k, 1, block_k)
-    v = _pad_to(v, 1, block_k)
-    sq, skv = q.shape[1], k.shape[1]
+    q2 = _pad_dim(_to_bhsd(q), 1, block_q)
+    k2 = _pad_dim(_to_bhsd(k), 1, block_k)
+    v2 = _pad_dim(_to_bhsd(v), 1, block_k)
+    sq, skv = q2.shape[1], k2.shape[1]
     nq = sq // block_q
 
-    kernel = functools.partial(
-        _fwd_kernel,
-        scale=scale,
-        causal=causal,
-        kv_valid=skv_orig,
-        block_k=block_k,
-        sq=sq,
-        skv=skv,
+    q_spec = pl.BlockSpec(
+        (1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
     )
+    kv_spec = pl.BlockSpec(
+        (1, skv, d),
+        lambda bh, qi: (_kv_index(bh, hq, hkv), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lse_spec = pl.BlockSpec(
+        (1, block_q, 1), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+    )
+
     out, lse = pl.pallas_call(
-        kernel,
-        grid=(b, hq, nq),
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, 1, d), lambda bi, h, qi: (bi, qi, h, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, skv, 1, d), lambda bi, h, qi: (bi, 0, h // g, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, skv, 1, d), lambda bi, h, qi: (bi, 0, h // g, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, block_q, 1, d), lambda bi, h, qi: (bi, qi, h, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_q), lambda bi, h, qi: (bi, h, qi),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        functools.partial(
+            _fwd_kernel,
+            scale=scale,
+            causal=causal,
+            kv_valid=skv_orig,
+            block_k=block_k,
+        ),
+        grid=(b * hq, nq),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, lse_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, sq, hq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b * hq, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * hq, sq, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * skv * d,
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=b * hq * sq * skv,
         ),
-    )(q, k, v)
-    return out[:, :sq_orig], lse
+    )(q2, k2, v2)
+    return _from_bhsd(out, b, hq)[:, :sq_orig], lse
 
 
 # --------------------------------------------------------------- backward ---
@@ -213,12 +210,12 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, scale, causal, kv_valid, block_k,
 ):
-    q = q_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :].astype(jnp.float32)
-    lse = lse_ref[0, 0, :][:, None]
-    delta = delta_ref[0, 0, :][:, None]
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [BQ, 1]
+    delta = delta_ref[0]
     block_q = q.shape[0]
-    qi = pl.program_id(2)
+    qi = pl.program_id(1)
     num_k_blocks = _cdiv(kv_valid, block_k)
     if causal:
         last_needed = lax.div((qi + 1) * block_q - 1, block_k) + 1
@@ -229,9 +226,9 @@ def _bwd_dq_kernel(
     row_ids = qi * block_q + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     def body(j, dq):
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), 0, :]
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), 0, :]
-        s = jax.lax.dot_general(
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         col_ids = j * block_k + lax.broadcasted_iota(
@@ -241,48 +238,42 @@ def _bwd_dq_kernel(
         if causal:
             valid = valid & (col_ids <= row_ids)
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(
+        dp = lax.dot_general(
             do, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta)
-        dq_inc = jax.lax.dot_general(
+        dq_inc = lax.dot_general(
             ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dq + dq_inc
 
-    dq = lax.fori_loop(
-        0, upper, body, jnp.zeros((block_q, q.shape[1]), jnp.float32)
-    )
-    dq_ref[0, :, 0, :] = (dq * scale).astype(dq_ref.dtype)
+    dq = lax.fori_loop(0, upper, body, jnp.zeros((block_q, q.shape[1]), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     *, scale, causal, kv_valid, block_q, sq_valid,
 ):
-    k_blk = k_ref[0, :, 0, :]  # [BK, D]
-    v_blk = v_ref[0, :, 0, :]
+    k_blk = k_ref[0]  # [BK, D]
+    v_blk = v_ref[0]
     block_k = k_blk.shape[0]
-    ki = pl.program_id(2)
+    ki = pl.program_id(1)
     num_q_blocks = _cdiv(sq_valid, block_q)
 
-    if causal:
-        # lowest q block that can see this kv block
-        first_needed = lax.div(ki * block_k, block_q)
-    else:
-        first_needed = 0
+    first_needed = lax.div(ki * block_k, block_q) if causal else 0
 
     col_ids = ki * block_k + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
     def body(qi, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qi * block_q, block_q), 0, :]
-        do = do_ref[0, pl.ds(qi * block_q, block_q), 0, :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
-        s = jax.lax.dot_general(
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q), :]  # [BQ, 1]
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q), :]
+        s = lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         row_ids = qi * block_q + lax.broadcasted_iota(
@@ -292,69 +283,73 @@ def _bwd_dkv_kernel(
         if causal:
             valid = valid & (col_ids <= row_ids)
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)
-        dv_inc = jax.lax.dot_general(
+        dv_inc = lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [BK, D]
-        dp = jax.lax.dot_general(
+        )
+        dp = lax.dot_general(
             do, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta)
-        dk_inc = jax.lax.dot_general(
+        dk_inc = lax.dot_general(
             ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [BK, D]
+        )
         return dk + dk_inc, dv + dv_inc
 
     d = k_blk.shape[1]
     dk0 = jnp.zeros((block_k, d), jnp.float32)
     dv0 = jnp.zeros((block_k, d), jnp.float32)
     dk, dv = lax.fori_loop(first_needed, num_q_blocks, body, (dk0, dv0))
-    dk_ref[0, :, 0, :] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0, :, 0, :] = dv.astype(dv_ref.dtype)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(
-    causal, scale, block_q, block_k, residuals, dout
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _bwd(causal, scale, block_q, block_k, residuals, dout):
     q, k, v, out, lse = residuals
     b, sq_orig, hq, d = q.shape
     _, skv_orig, hkv, _ = k.shape
     g = hq // hkv
 
     delta = jnp.sum(
-        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )  # [B, Sq, Hq]
-    delta = jnp.transpose(delta, (0, 2, 1))  # [B, Hq, Sq]
+        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [B, Sq, Hq, 1]
+    delta = _to_bhsd(delta)  # [B*Hq, Sq, 1]
 
-    q = _pad_to(q, 1, block_q)
-    k = _pad_to(k, 1, block_k)
-    v = _pad_to(v, 1, block_k)
-    do = _pad_to(dout, 1, block_q)
-    lse = _pad_to(lse, 2, block_q)
-    delta = _pad_to(delta, 2, block_q)
-    sq, skv = q.shape[1], k.shape[1]
+    q2 = _pad_dim(_to_bhsd(q), 1, block_q)
+    k2 = _pad_dim(_to_bhsd(k), 1, block_k)
+    v2 = _pad_dim(_to_bhsd(v), 1, block_k)
+    do2 = _pad_dim(_to_bhsd(dout), 1, block_q)
+    lse2 = _pad_dim(lse, 1, block_q)
+    delta2 = _pad_dim(delta, 1, block_q)
+    sq, skv = q2.shape[1], k2.shape[1]
     nq, nk = sq // block_q, skv // block_k
 
-    q_spec = pl.BlockSpec(
-        (1, block_q, 1, d), lambda bi, h, i: (bi, i, h, 0), memory_space=pltpu.VMEM
+    qblk = pl.BlockSpec(
+        (1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
     )
-    qfull_spec = pl.BlockSpec(
-        (1, sq, 1, d), lambda bi, h, i: (bi, 0, h, 0), memory_space=pltpu.VMEM
+    qfull = pl.BlockSpec(
+        (1, sq, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
     )
-    kv_spec = pl.BlockSpec(
-        (1, skv, 1, d), lambda bi, h, i: (bi, 0, h // g, 0), memory_space=pltpu.VMEM
-    )
-    kvblk_spec = pl.BlockSpec(
-        (1, block_k, 1, d), lambda bi, h, i: (bi, i, h // g, 0),
+    kvfull = pl.BlockSpec(
+        (1, skv, d),
+        lambda bh, i: (_kv_index(bh, hq, hkv), 0, 0),
         memory_space=pltpu.VMEM,
     )
-    stat_blk_spec = pl.BlockSpec(
-        (1, 1, block_q), lambda bi, h, i: (bi, h, i), memory_space=pltpu.VMEM
+    kvblk = pl.BlockSpec(
+        (1, block_k, d),
+        lambda bh, i: (_kv_index(bh, hq, hkv), i, 0),
+        memory_space=pltpu.VMEM,
     )
-    stat_full_spec = pl.BlockSpec(
-        (1, 1, sq), lambda bi, h, i: (bi, h, 0), memory_space=pltpu.VMEM
+    stat_blk = pl.BlockSpec(
+        (1, block_q, 1), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
+    )
+    stat_full = pl.BlockSpec(
+        (1, sq, 1), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
+    )
+    outblk_q = pl.BlockSpec(
+        (1, block_k, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
     )
 
     dq = pl.pallas_call(
@@ -365,13 +360,13 @@ def _bwd(
             kv_valid=skv_orig,
             block_k=block_k,
         ),
-        grid=(b, hq, nq),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_blk_spec, stat_blk_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, sq, hq, d), q.dtype),
-    )(q, k, v, do, lse, delta)
+        grid=(b * hq, nq),
+        in_specs=[qblk, kvfull, kvfull, qblk, stat_blk, stat_blk],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((b * hq, sq, d), q.dtype),
+    )(q2, k2, v2, do2, lse2, delta2)
 
-    # dk/dv emitted per *query* head, then group-summed to kv heads.
+    # dk/dv per *query* head, then group-summed to kv heads.
     dk_q, dv_q = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel,
@@ -381,38 +376,21 @@ def _bwd(
             block_q=block_q,
             sq_valid=sq_orig,
         ),
-        grid=(b, hq, nk),
-        in_specs=[
-            qfull_spec,
-            kvblk_spec,
-            kvblk_spec,
-            qfull_spec,
-            stat_full_spec,
-            stat_full_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, block_k, 1, d), lambda bi, h, i: (bi, i, h, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, 1, d), lambda bi, h, i: (bi, i, h, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        grid=(b * hq, nk),
+        in_specs=[qfull, kvblk, kvblk, qfull, stat_full, stat_full],
+        out_specs=[outblk_q, outblk_q],
         out_shape=[
-            jax.ShapeDtypeStruct((b, skv, hq, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, skv, hq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * hq, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * hq, skv, d), jnp.float32),
         ],
-    )(q, k, v, do, lse, delta)
+    )(q2, k2, v2, do2, lse2, delta2)
 
-    dk = dk_q.reshape(b, skv, hkv, g, d).sum(axis=3).astype(k.dtype)
-    dv = dv_q.reshape(b, skv, hkv, g, d).sum(axis=3).astype(v.dtype)
-    return (
-        dq[:, :sq_orig],
-        dk[:, :skv_orig],
-        dv[:, :skv_orig],
-    )
+    dk2 = dk_q.reshape(b, hkv, g, skv, d).sum(axis=2)  # [B, Hkv, Skv, D]
+    dv2 = dv_q.reshape(b, hkv, g, skv, d).sum(axis=2)
+    dk_out = dk2.transpose(0, 2, 1, 3)[:, :skv_orig].astype(k.dtype)
+    dv_out = dv2.transpose(0, 2, 1, 3)[:, :skv_orig].astype(v.dtype)
+    dq_out = _from_bhsd(dq, b, hq)[:, :sq_orig]
+    return dq_out, dk_out, dv_out
 
 
 # ------------------------------------------------------------------ entry ---
@@ -454,6 +432,11 @@ def flash_attention(
     if causal:
         assert q.shape[1] == k.shape[1], "causal kernel assumes self-attention"
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    block_q = min(block_q, max(8, q.shape[1]))
-    block_k = min(block_k, max(8, k.shape[1]))
+
+    def clamp_block(blk, s):
+        blk = min(blk, _cdiv(s, 8) * 8)
+        return max(8, blk)
+
+    block_q = clamp_block(block_q, q.shape[1])
+    block_k = clamp_block(block_k, k.shape[1])
     return _flash(q, k, v, causal, scale, block_q, block_k)

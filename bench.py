@@ -10,8 +10,12 @@ InternViT-300M at 448px is ~0.71 TFLOP/frame forward (2 * 0.303e9 params *
 1025 tokens + attention ~0.09 TFLOP); at a realistic 45% bf16 MFU on A100
 (312 TFLOP/s peak) that is ~198 frames/s. vs_baseline = measured / 198.
 
-Runs on whatever jax.devices() provides (the tunneled TPU chip under axon);
-do not run concurrently with other TPU processes.
+Timing protocol for the axon-tunneled chip: `block_until_ready()` does NOT
+actually sync through the tunnel (measured ~7000 "TFLOP/s" on a 394-peak
+chip), so the timed region ends with a scalar host readback of a value that
+depends on every queued iteration; the readback round-trip is measured
+separately and subtracted. All functions (including the readback reducer)
+are compiled and synced once before timing.
 """
 
 from __future__ import annotations
@@ -26,12 +30,18 @@ import numpy as np
 A100_REF_FRAMES_PER_SEC = 198.0
 
 
+def _is_tpu() -> bool:
+    if jax.default_backend() == "tpu":
+        return True
+    return "tpu" in getattr(jax.devices()[0], "device_kind", "").lower()
+
+
 def main() -> None:
     from aigv_assessor_tpu.core.config import VisionConfig
     from aigv_assessor_tpu.core.precision import Precision
     from aigv_assessor_tpu.models.vit import InternVisionModel
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _is_tpu()
     cfg = VisionConfig()  # full InternViT-300M, 448px
     batch = 64
     if not on_tpu:  # CPU smoke fallback so the script always emits a line
@@ -47,20 +57,33 @@ def main() -> None:
     params = jax.jit(model.init)(rng, x)
 
     @jax.jit
-    def encode(params, x):
-        return model.apply(params, x)
+    def encode_probe(params, x):
+        # scalar probe depending on the full encode -> readback = real sync
+        return jnp.sum(model.apply(params, x).astype(jnp.float32))
 
-    # warmup + compile
-    encode(params, x).block_until_ready()
+    # compile + full sync (host readback)
+    probe = float(encode_probe(params, x))
+    assert np.isfinite(probe), probe
+
+    # measure readback round-trip on an already-queued scalar
+    t0 = time.perf_counter()
+    _ = float(encode_probe(params, x))
+    rtt_plus_one = time.perf_counter() - t0
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        out = encode(params, x)
-    out.block_until_ready()
+        out = encode_probe(params, x)
+    total = float(out)  # syncs the whole in-order queue
     dt = time.perf_counter() - t0
+    # subtract the single-iteration+readback baseline's readback share:
+    # rtt_plus_one includes 1 encode; dt includes iters encodes + 1 readback.
+    per_iter = (dt - rtt_plus_one) / (iters - 1) if iters > 1 else dt
+    per_iter = max(per_iter, 1e-9)
 
-    frames_per_sec = batch * iters / dt
+    frames_per_sec = batch / per_iter
+    assert np.isfinite(total)
     print(
         json.dumps(
             {

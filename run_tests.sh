@@ -7,4 +7,4 @@
 # =cpu with an 8-device virtual mesh anyway (tests/conftest.py).
 cd "$(dirname "$0")"
 exec env PYTHONPATH="$(pwd)" JAX_PLATFORMS=cpu \
-    python -m pytest tests/ "$@"
+    python -m pytest "${@:-tests/}"
