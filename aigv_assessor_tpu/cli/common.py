@@ -104,11 +104,42 @@ def init_or_load_params(
     ckpt = os.path.join(args.model_name_or_path or "", "params.msgpack")
     if args.model_name_or_path and os.path.exists(ckpt):
         logger.info("loading params from %s", ckpt)
-        return load_params(ckpt, jax.tree_util.tree_map(np.zeros_like, params))
-    logger.info("initializing params from scratch (seed %d)", seed)
-    return model.init(
-        jax.random.key(seed), example["input_ids"], example["pixel_values"]
-    )
+        params = load_params(ckpt, jax.tree_util.tree_map(np.zeros_like, params))
+    else:
+        logger.info("initializing params from scratch (seed %d)", seed)
+        params = model.init(
+            jax.random.key(seed), example["input_ids"], example["pixel_values"]
+        )
+    return _graft_subcheckpoints(params, args)
+
+
+def _graft_subcheckpoints(params: Any, args) -> Any:
+    """Assemble from separate vision/llm/mlp artifacts (reference model
+    assembly from --vision_path/--llm_path/--mlp_path,
+    `stage1_train.py:821-858`)."""
+    from flax import serialization
+
+    def load_part(path):
+        with open(path, "rb") as f:
+            t = serialization.msgpack_restore(f.read())
+        return t.get("params", t)
+
+    tree = params["params"] if "params" in params else params
+    if getattr(args, "vision_path", None):
+        part = load_part(args.vision_path)
+        tree["vision_model"] = part.get("vision_model", part)
+        logger.info("grafted vision tower from %s", args.vision_path)
+    if getattr(args, "llm_path", None):
+        part = load_part(args.llm_path)
+        tree["language_model"] = part.get("language_model", part)
+        logger.info("grafted language model from %s", args.llm_path)
+    if getattr(args, "mlp_path", None):
+        part = load_part(args.mlp_path)
+        tree["mlp1"] = part.get("mlp1", part)
+        if part.get("motion_mlp") is not None:
+            tree["motion_mlp"] = part["motion_mlp"]
+        logger.info("grafted mlp projector from %s", args.mlp_path)
+    return params
 
 
 def _image_hw(config: AssessorConfig) -> Tuple[int, int]:

@@ -142,6 +142,7 @@ class VideoQualityDataset:
             input_size=self.image_size,
             is_train=self.is_train,
             normalize_type=self.normalize_type,
+            pad2square=self.config.pad2square,
             rng=self._rng,
         )
         num_patches = len(frames) + 1  # + motion slot

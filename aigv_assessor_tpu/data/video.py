@@ -187,11 +187,24 @@ def jpeg_degrade(img: Image.Image, quality: int) -> Image.Image:
         return Image.open(buf).copy()
 
 
+def expand2square(img: Image.Image, background_color) -> Image.Image:
+    """Pad to square on a mean-colored canvas (reference `expand2square`,
+    `dataset.py:220-231`, used when pad2square=True)."""
+    width, height = img.size
+    if width == height:
+        return img
+    side = max(width, height)
+    result = Image.new(img.mode, (side, side), background_color)
+    result.paste(img, ((side - width) // 2, (side - height) // 2))
+    return result
+
+
 def transform_frames(
     frames: Sequence[Image.Image],
     input_size: int = 448,
     is_train: bool = False,
     normalize_type: str = "imagenet",
+    pad2square: bool = False,
     rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
     """PIL frames -> [T, H, W, 3] float32, bicubic resize + normalize
@@ -199,6 +212,7 @@ def transform_frames(
     mean, std = NORMALIZE[normalize_type]
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
+    bg = tuple(int(x * 255) for x in mean)
     out = np.empty((len(frames), input_size, input_size, 3), np.float32)
     for i, img in enumerate(frames):
         if img.mode != "RGB":
@@ -207,6 +221,8 @@ def transform_frames(
             rng = rng or np.random.default_rng()
             quality = int(rng.integers(75, 101))
             img = jpeg_degrade(img, quality)
+        if pad2square:
+            img = expand2square(img, bg)
         img = img.resize((input_size, input_size), Image.BICUBIC)
         arr = np.asarray(img, np.float32) / 255.0
         out[i] = (arr - mean) / std

@@ -1,0 +1,69 @@
+"""Model loading for inference.
+
+Equivalent of `/root/reference/internvl/model/__init__.py`
+(`load_model_and_tokenizer`, lines 32-44, and `split_model`'s manual
+device_map pipeline split, lines 8-29): on TPU the placement question
+disappears into GSPMD — `load_model_and_tokenizer` loads config + params +
+tokenizer and `shard_for_inference` lays the parameters over a mesh using
+the same rules as training (fsdp/tensor axes) instead of round-robin layer
+placement.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+
+from aigv_assessor_tpu.core.config import AssessorConfig
+from aigv_assessor_tpu.core.mesh import MeshConfig, make_mesh
+from aigv_assessor_tpu.core.precision import Precision
+from aigv_assessor_tpu.data.tokenizer import AIGVTokenizer
+from aigv_assessor_tpu.models.assessor import AIGVAssessor
+from aigv_assessor_tpu.parallel.sharding import shard_params
+from aigv_assessor_tpu.train.checkpoint import load_params
+
+
+def load_model_and_tokenizer(
+    path: str,
+    stage: int = 2,
+    precision: Optional[Precision] = None,
+    int8: bool = False,
+) -> Tuple[AssessorConfig, AIGVAssessor, dict, AIGVTokenizer]:
+    """Load (config, model, params, tokenizer) from a checkpoint directory
+    containing config.json + params.msgpack + tokenizer.json."""
+    config = AssessorConfig.from_json(os.path.join(path, "config.json"))
+    config = config.replace(stage=stage)
+    tokenizer = AIGVTokenizer.from_pretrained(path)
+    config = config.replace(img_context_token_id=int(tokenizer.img_context_token_id))
+    model = AIGVAssessor(config, precision or Precision())
+
+    params_path = os.path.join(path, "params.msgpack")
+    from flax import serialization
+
+    with open(params_path, "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    if int8 or _has_int8(params):
+        from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_tree
+
+        params = dequantize_tree(params)
+    return config, model, params, tokenizer
+
+
+def _has_int8(params) -> bool:
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    return any(str(k[-1]) == "kernel_int8" for k in flat)
+
+
+def shard_for_inference(
+    params,
+    mesh=None,
+    mesh_config: Optional[MeshConfig] = None,
+):
+    """Place parameters on the mesh with the training sharding rules (the
+    TPU replacement for `split_model`'s layer round-robin)."""
+    mesh = mesh or make_mesh(mesh_config or MeshConfig.auto(fsdp=True))
+    return mesh, shard_params(params, mesh)

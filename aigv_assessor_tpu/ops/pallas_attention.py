@@ -35,8 +35,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+# sequences up to this length use a single full-width kv (and q) tile: fewer
+# grid steps and larger matmuls dominate the online-softmax bookkeeping
+# (measured on v5e: 13.9 -> 29.1 TFLOP/s on the ViT's 1025-token shape)
+_FULL_TILE_MAX = 2048
 _NEG_INF = -1e30
 
 
@@ -437,6 +441,11 @@ def flash_attention(
         blk = min(blk, _cdiv(s, 8) * 8)
         return max(8, blk)
 
+    # shape-aware auto-tiling: moderate sequences take one full tile
+    if not causal and k.shape[1] <= _FULL_TILE_MAX:
+        block_k = _cdiv(k.shape[1], 8) * 8
+    if not causal and q.shape[1] <= _FULL_TILE_MAX:
+        block_q = _cdiv(q.shape[1], 8) * 8
     block_q = clamp_block(block_q, q.shape[1])
     block_k = clamp_block(block_k, k.shape[1])
     return _flash(q, k, v, causal, scale, block_q, block_k)

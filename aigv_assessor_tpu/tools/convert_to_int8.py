@@ -1,0 +1,82 @@
+"""Int8 weight export.
+
+Equivalent of `/root/reference/tools/convert_to_int8.py:4-15` (bitsandbytes
+8-bit export): per-output-channel symmetric int8 quantization of every Dense
+kernel, stored as {values int8, scales fp32}. Halves checkpoint size and HBM
+footprint for serving; `load_int8_params` dequantizes to bf16 at load (an
+on-the-fly int8 matmul kernel is a serving optimization on top of this
+format).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+from flax import serialization, traverse_util
+
+
+def quantize_kernel(w: np.ndarray):
+    """[in, out] -> int8 values + per-out-channel scale."""
+    absmax = np.abs(w).max(axis=0, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale[0]
+
+
+def dequantize_kernel(q: np.ndarray, scale: np.ndarray, dtype=np.float32):
+    return (q.astype(np.float32) * scale[None, :]).astype(dtype)
+
+
+def quantize_tree(params: dict, min_size: int = 4096) -> dict:
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    n_q = 0
+    for key, v in flat.items():
+        name = str(key[-1])
+        v = np.asarray(v)
+        if name == "kernel" and v.ndim == 2 and v.size >= min_size:
+            q, scale = quantize_kernel(v)
+            out[key[:-1] + ("kernel_int8",)] = q
+            out[key[:-1] + ("kernel_scale",)] = scale
+            n_q += 1
+        else:
+            out[key] = v
+    print(f"quantized {n_q} kernels")
+    return traverse_util.unflatten_dict(out)
+
+
+def dequantize_tree(params: dict, dtype=np.float32) -> dict:
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for key, v in flat.items():
+        name = str(key[-1])
+        if name == "kernel_int8":
+            scale = flat[key[:-1] + ("kernel_scale",)]
+            out[key[:-1] + ("kernel",)] = dequantize_kernel(
+                np.asarray(v), np.asarray(scale), dtype
+            )
+        elif name == "kernel_scale":
+            continue
+        else:
+            out[key] = v
+    return traverse_util.unflatten_dict(out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--params", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--dequantize", action="store_true",
+                    help="reverse: int8 file -> fp32 params")
+    args = ap.parse_args(argv)
+    with open(args.params, "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    out = dequantize_tree(params) if args.dequantize else quantize_tree(params)
+    with open(args.out, "wb") as f:
+        f.write(serialization.msgpack_serialize(out))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,11 @@ class TrainConfig:
     max_seq_length: int = 4096
     bf16: bool = True
     resume_from_checkpoint: Optional[str] = None
+    # layer-wise LR decay (reference trainer_monkey_patch.py:61-159; env
+    # VIT_LAYER_DECAY_RATE etc. override when these are None)
+    vit_layer_decay_rate: Optional[float] = None
+    llm_layer_decay_rate: Optional[float] = None
+    llm_lr_scale: Optional[float] = None
     # eval artifacts (reference --output_file/--metrics_file,
     # stage1_train.py:73-86)
     output_file: str = "results.csv"
@@ -105,9 +110,14 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
     return optax.constant_schedule(cfg.learning_rate)
 
 
-def make_optimizer(cfg: TrainConfig, total_steps: int, trainable_mask: Any):
+def make_optimizer(
+    cfg: TrainConfig,
+    total_steps: int,
+    trainable_mask: Any,
+    layer_decay: Any = None,
+):
     schedule = make_schedule(cfg, total_steps)
-    tx = optax.chain(
+    chain = [
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             schedule,
@@ -116,7 +126,12 @@ def make_optimizer(cfg: TrainConfig, total_steps: int, trainable_mask: Any):
             eps=cfg.adam_epsilon,
             weight_decay=cfg.weight_decay,
         ),
-    )
+    ]
+    if layer_decay is not None:
+        from aigv_assessor_tpu.train.layer_decay import scale_by_layer_decay
+
+        chain.append(scale_by_layer_decay(layer_decay))
+    tx = optax.chain(*chain)
     # multi_transform (not optax.masked): masked() passes the raw gradients
     # THROUGH as updates for mask-False leaves; frozen params must get a hard
     # zero update and no optimizer state.
@@ -173,7 +188,37 @@ class Trainer:
             counts["total"] / 1e6,
             counts["trainable"] / 1e6,
         )
-        self.tx = make_optimizer(train_config, total_steps, self.trainable_mask)
+        layer_decay = None
+        import os as _os
+
+        if (
+            train_config.vit_layer_decay_rate is not None
+            or train_config.llm_layer_decay_rate is not None
+            or _os.environ.get("VIT_LAYER_DECAY_RATE")
+            or _os.environ.get("QLLAMA_LAYER_DECAY_RATE")
+        ):
+            from aigv_assessor_tpu.train.layer_decay import layer_decay_multipliers
+
+            layer_decay = layer_decay_multipliers(
+                params,
+                model.config.vision.num_hidden_layers,
+                model.config.llm.num_hidden_layers,
+                train_config.vit_layer_decay_rate,
+                train_config.llm_layer_decay_rate,
+                train_config.llm_lr_scale,
+            )
+        self.tx = make_optimizer(
+            train_config, total_steps, self.trainable_mask, layer_decay
+        )
+        self.metrics_writer = None
+        try:
+            from aigv_assessor_tpu.utils.metrics_writer import MetricsWriter
+
+            self.metrics_writer = MetricsWriter(
+                os.path.join(train_config.output_dir, "logs")
+            )
+        except Exception:  # metrics writing must never kill training
+            pass
 
         with self.mesh:
             param_shardings = make_param_shardings(params, self.mesh)
@@ -297,6 +342,12 @@ class Trainer:
         path = os.path.join(self.cfg.output_dir, "train_log.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.metrics_writer is not None:
+            scalars = {
+                k: v for k, v in record.items()
+                if isinstance(v, (int, float)) and k != "step"
+            }
+            self.metrics_writer.write(int(record.get("step", 0)), scalars)
 
 
 def microbatch(batch_arrays: Dict[str, np.ndarray], accum: int) -> Dict[str, np.ndarray]:
