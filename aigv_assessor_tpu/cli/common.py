@@ -153,7 +153,9 @@ def build_model_and_tokenizer(args, stage: int):
     ctx_id = tokenizer.img_context_token_id
     config = config.replace(img_context_token_id=int(ctx_id))
     precision = Precision() if args.bf16 else Precision.fp32()
-    model = AIGVAssessor(config, precision)
+    model = AIGVAssessor(
+        config, precision, remat=bool(getattr(args, "grad_checkpoint", False))
+    )
     params = init_or_load_params(model, args, config, seed=args.seed)
     return config, model, params, tokenizer
 

@@ -1,0 +1,182 @@
+"""Batch video-scoring CLI (production serving path).
+
+The reference has no dedicated serving entry — scoring runs through the
+bs=1 eval loop (`stage2_eval.py:893-962`). This is the TPU-native batched
+equivalent (BASELINE.md config #3: "fused frame pipeline + ViT encode at
+bs=64 on one chip"): videos stream through the threaded decode pipeline
+(native ffmpeg decoder), batches run one jitted stage-2 forward (score from
+a fixed prompt), results land in a CSV; prints a one-line throughput JSON.
+
+Usage:
+  python -m aigv_assessor_tpu.cli.score \
+      --model_name_or_path ckpt/ --videos dir_or_jsonl \
+      --question "How would you rate the static quality of this video?" \
+      --batch_size 8 --out scores.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import logging
+import os
+import sys
+import time
+from typing import List
+
+import jax
+import numpy as np
+
+from aigv_assessor_tpu.cli.args import _bool
+from aigv_assessor_tpu.data.preprocess import expand_image_tokens
+from aigv_assessor_tpu.data.conversation import get_conv_template
+from aigv_assessor_tpu.data.video import load_video, transform_frames
+
+logger = logging.getLogger(__name__)
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif")
+
+
+def list_videos(path: str) -> List[str]:
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.lower().endswith(VIDEO_EXTS)
+        ]
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            return [json.loads(l)["video"] for l in f if l.strip()]
+    return [path]
+
+
+def build_prompt_ids(tokenizer, template_name, question, num_frames, num_image_token):
+    """Stage-2 style scoring prompt: Frame{i} blocks + motion slot + question
+    + an opened assistant turn (the score reads hidden[-4] of the full
+    teacher-forced answer in eval; for serving we append the canonical answer
+    template so the read-out position exists)."""
+    blocks = "\n".join(f"Frame{i + 1}: <image>" for i in range(num_frames))
+    q = blocks + "\nMotion Feature: <image>\n" + question
+    conv = get_conv_template(template_name)
+    conv.append_message(conv.roles[0], q)
+    conv.append_message(conv.roles[1], "The quality of the video is good.")
+    text = conv.get_prompt()
+    text = expand_image_tokens(text, [num_image_token] * num_frames + [1])
+    return tokenizer.encode(text)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_name_or_path", default="")
+    ap.add_argument("--model_scale", default="auto",
+                    choices=["auto", "tiny", "2b", "8b"])
+    ap.add_argument("--videos", required=True)
+    ap.add_argument("--question", default="How would you rate the static quality of this video?")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_segments", type=int, default=8)
+    ap.add_argument("--out", default="scores.csv")
+    ap.add_argument("--bf16", type=_bool, default=True)
+    ap.add_argument("--max_seq_length", type=int, default=4096)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--mos_scale", type=float, default=100.0,
+                    help="multiply model scores back to MOS range (stage-2 "
+                         "trains on mos/100, stage2_train.py:613)")
+    args = ap.parse_args(argv)
+
+    # reuse the training CLI assembly (tiny fallback when no checkpoint)
+    from types import SimpleNamespace
+
+    asm_args = SimpleNamespace(
+        model_name_or_path=args.model_name_or_path,
+        model_scale=args.model_scale,
+        max_seq_length=args.max_seq_length,
+        bf16=args.bf16,
+        seed=0,
+        down_sample_ratio=0.5,
+        ps_version="v2",
+        vision_select_layer=-1,
+        conv_style="internlm2-chat",
+        max_dynamic_patch=6,
+        min_dynamic_patch=1,
+        dynamic_image_size=True,
+        use_thumbnail=True,
+        pad2square=False,
+        use_backbone_lora=0,
+        use_llm_lora=0,
+        drop_path_rate=0.0,
+        force_image_size=448,
+        grad_checkpoint=False,
+        vision_path=None,
+        llm_path=None,
+        mlp_path=None,
+    )
+    from aigv_assessor_tpu.cli.common import build_model_and_tokenizer
+
+    config, model, params, tokenizer = build_model_and_tokenizer(asm_args, stage=2)
+    image_size = config.force_image_size or config.vision.image_size
+
+    videos = list_videos(args.videos)
+    logger.info("scoring %d videos", len(videos))
+    prompt = build_prompt_ids(
+        tokenizer, config.template, args.question, args.num_segments,
+        config.num_image_token,
+    )
+    ids = np.asarray(prompt, np.int32)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def score_batch(params, input_ids, pixel_values, attention_mask):
+        out = model.apply(
+            params, input_ids, pixel_values, attention_mask=attention_mask
+        )
+        return out["score"]
+
+    # threaded decode ahead of the device
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_one(path):
+        frames = load_video(path, num_segments=args.num_segments)
+        return transform_frames(frames, input_size=image_size)
+
+    rows = []
+    t_start = time.perf_counter()
+    with ThreadPoolExecutor(args.workers) as pool:
+        for start in range(0, len(videos), args.batch_size):
+            chunk = videos[start : start + args.batch_size]
+            pixels = list(pool.map(load_one, chunk))
+            b = len(chunk)
+            px = np.stack(pixels)
+            batch_ids = np.tile(ids[None], (b, 1))
+            mask = np.ones_like(batch_ids, bool)
+            scores = np.asarray(
+                score_batch(params, jnp.asarray(batch_ids), jnp.asarray(px),
+                            jnp.asarray(mask))
+            )
+            for path, s in zip(chunk, scores):
+                rows.append([path, float(s) * args.mos_scale])
+    elapsed = time.perf_counter() - t_start
+
+    with open(args.out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["video_name", "pred_score"])
+        w.writerows(rows)
+    print(
+        json.dumps(
+            {
+                "metric": "videos_scored_per_sec",
+                "value": round(len(videos) / max(elapsed, 1e-9), 3),
+                "unit": "videos/sec",
+                "n_videos": len(videos),
+                "out": args.out,
+            }
+        )
+    )
+    return rows
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)

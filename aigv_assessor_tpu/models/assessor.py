@@ -108,6 +108,9 @@ class ProjectorMLP(nn.Module):
 class AIGVAssessor(nn.Module):
     config: AssessorConfig
     precision: Precision = Precision()
+    # per-layer activation rematerialization in both towers (reference
+    # `--grad_checkpoint` + ViT ckpt default-on, `stage1_train.py:886-889`)
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -130,7 +133,8 @@ class AIGVAssessor(nn.Module):
             else None
         )
         self.vision_model = InternVisionModel(
-            cfg.vision, self.precision, lora=vit_lora, name="vision_model"
+            cfg.vision, self.precision, lora=vit_lora, remat=self.remat,
+            name="vision_model",
         )
         if getattr(cfg.llm, "architecture", "") == "Phi3ForCausalLM":
             from aigv_assessor_tpu.models.phi3 import Phi3ForCausalLM
@@ -140,7 +144,8 @@ class AIGVAssessor(nn.Module):
             )
         else:
             self.language_model = InternLM2ForCausalLM(
-                cfg.llm, self.precision, lora=llm_lora, name="language_model"
+                cfg.llm, self.precision, lora=llm_lora, remat=self.remat,
+                name="language_model",
             )
         self.mlp1 = ProjectorMLP(cfg.llm.hidden_size, self.precision, name="mlp1")
         self.motion_mlp = ProjectorMLP(

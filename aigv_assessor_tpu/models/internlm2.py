@@ -224,6 +224,9 @@ class InternLM2ForCausalLM(nn.Module):
     config: LLMConfig
     precision: Precision = Precision()
     lora: Optional[LoRAConfig] = None
+    # per-layer remat (reference `--grad_checkpoint` ->
+    # `_set_gradient_checkpointing`, `stage1_train.py:888-889`)
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -234,10 +237,13 @@ class InternLM2ForCausalLM(nn.Module):
             param_dtype=jnp.float32,
             name="tok_embeddings",
         )
+        layer_cls = (
+            nn.remat(InternLM2DecoderLayer, static_argnums=(10,))
+            if self.remat
+            else InternLM2DecoderLayer
+        )
         self.layers = [
-            InternLM2DecoderLayer(
-                cfg, self.precision, self.lora, name=f"layers_{i}"
-            )
+            layer_cls(cfg, self.precision, self.lora, name=f"layers_{i}")
             for i in range(cfg.num_hidden_layers)
         ]
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")

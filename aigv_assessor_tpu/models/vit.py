@@ -243,6 +243,10 @@ class InternVisionModel(nn.Module):
     config: VisionConfig
     precision: Precision = Precision()
     lora: Optional[LoRAConfig] = None
+    # per-layer rematerialization (reference: ViT grad ckpt default-on,
+    # `modeling_intern_vit.py:248,277-280`); applied as nn.remat around each
+    # encoder layer so backward recomputes activations layer-by-layer
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -264,13 +268,18 @@ class InternVisionModel(nn.Module):
             n_run = select_layer % (n_layers + 1)
         else:
             n_run = n_layers
+        layer_cls = (
+            nn.remat(InternVisionEncoderLayer, static_argnums=(2,))
+            if self.remat
+            else InternVisionEncoderLayer
+        )
         for i in range(n_run):
             rate = (
                 cfg.drop_path_rate * i / max(n_layers - 1, 1)
                 if n_layers > 1
                 else cfg.drop_path_rate
             )
-            x = InternVisionEncoderLayer(
+            x = layer_cls(
                 cfg, self.precision, drop_path_rate=rate, lora=self.lora,
                 name=f"layers_{i}",
             )(x, deterministic)

@@ -249,12 +249,12 @@ class Trainer:
         return out["loss"], out
 
     def _train_step(self, state: TrainState, batch, dropout_rng):
-        """One optimizer step over `accum` microbatches (leading dim)."""
-        loss_fn = self._loss_fn
-        if self.cfg.grad_checkpoint:
-            loss_fn = jax.checkpoint(loss_fn, static_argnums=())
+        """One optimizer step over `accum` microbatches (leading dim).
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        Activation remat is applied inside the model (per-layer nn.remat via
+        the model's `remat` flag), not here — wrapping the whole loss in
+        jax.checkpoint is a no-op at the outermost boundary."""
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
 
         def micro(carry, mb):
             grads_acc, loss_acc, rng = carry

@@ -213,3 +213,28 @@ class TestCheckpoint:
         restored = load_lora_weights(path, perturbed)
         rflat = flax.traverse_util.flatten_dict(restored)
         np.testing.assert_array_equal(np.asarray(rflat[key]), orig)
+
+
+class TestRemat:
+    def test_remat_grads_match(self):
+        """Per-layer remat must not change gradients, only memory."""
+        cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=4)
+        batch = make_batch(cfg, b=1, frames=4, seq=64)
+        args = (
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["pixel_values"]),
+            jnp.asarray(batch["labels"]),
+        )
+        m0 = AIGVAssessor(cfg, FP32, remat=False)
+        m1 = AIGVAssessor(cfg, FP32, remat=True)
+        params = m0.init(jax.random.key(0), args[0], args[1], labels=args[2])
+
+        def loss(m, p):
+            return m.apply(p, args[0], args[1], labels=args[2])["loss"]
+
+        g0 = jax.grad(lambda p: loss(m0, p))(params)
+        g1 = jax.grad(lambda p: loss(m1, p))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
