@@ -26,6 +26,21 @@ from tokenizers import AddedToken, Tokenizer
 from aigv_assessor_tpu.data.constants import IMG_CONTEXT_TOKEN, SPECIAL_TOKENS
 
 
+def _convert_sentencepiece(spm_path: str) -> Tokenizer:
+    """sentencepiece .model -> tokenizers backend via transformers' converter
+    (replaces the reference's C++ sentencepiece dependency,
+    `tokenization_internlm2.py:22`)."""
+    try:
+        from transformers import LlamaTokenizerFast
+
+        tk = LlamaTokenizerFast(vocab_file=spm_path, legacy=False)
+        return tk.backend_tokenizer
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError(
+            f"failed to convert sentencepiece model {spm_path}: {e}"
+        ) from e
+
+
 class AIGVTokenizer:
     def __init__(
         self,
@@ -49,9 +64,20 @@ class AIGVTokenizer:
 
     @classmethod
     def from_pretrained(cls, path: str, **kw) -> "AIGVTokenizer":
-        if os.path.isdir(path):
-            path = os.path.join(path, "tokenizer.json")
-        return cls(Tokenizer.from_file(path), **kw)
+        """Load from a tokenizer.json (fast serialization) or, when a
+        checkpoint ships only the sentencepiece `tokenizer.model` (the
+        reference's slow InternLM2 tokenizer), convert it once through
+        transformers' fast-tokenizer converter and use its Rust backend."""
+        d = path if os.path.isdir(path) else os.path.dirname(path)
+        json_path = path if path.endswith(".json") else os.path.join(d, "tokenizer.json")
+        if os.path.exists(json_path):
+            return cls(Tokenizer.from_file(json_path), **kw)
+        spm_path = os.path.join(d, "tokenizer.model")
+        if os.path.exists(spm_path):
+            return cls(_convert_sentencepiece(spm_path), **kw)
+        raise FileNotFoundError(
+            f"no tokenizer.json or tokenizer.model under {d}"
+        )
 
     # ------------------------------------------------------------- vocab ---
 

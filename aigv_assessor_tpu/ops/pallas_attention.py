@@ -78,6 +78,134 @@ def supported(q, k, v, mask) -> bool:
 # ---------------------------------------------------------------- forward ---
 
 
+def _fwd_kernel_bshd(
+    q_ref,  # [1, BQ, Hq, D]
+    k_ref,  # [1, Skv, Hkv, D]
+    v_ref,
+    o_ref,  # [1, BQ, Hq, D]
+    lse_ref,  # [1, Hq, BQ]
+    lse_scratch,  # VMEM [Hq, BQ]
+    *,
+    scale,
+    causal,
+    kv_valid,
+    block_k,
+    hq,
+    hkv,
+):
+    """Native-layout forward: heads looped inside the kernel, so the caller
+    needs NO HBM transposes around the pallas boundary (XLA cannot fuse
+    through a pallas_call; the [B,S,H,D]->[B*H,S,D] relayout cost ~40% of the
+    attention wall-clock on the ViT shape)."""
+    block_q = q_ref.shape[1]
+    qi = pl.program_id(1)
+    g = hq // hkv
+    num_k_blocks = _cdiv(kv_valid, block_k)
+    if causal:
+        last_needed = lax.div((qi + 1) * block_q - 1, block_k) + 1
+        upper = jnp.minimum(last_needed, num_k_blocks)
+    else:
+        upper = num_k_blocks
+
+    row_ids = qi * block_q + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    for h in range(hq):  # static unroll over heads
+        q = q_ref[0, :, h, :] * scale  # [BQ, D]; scale folded once
+        kvh = h // g
+
+        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+
+        def body(j, carry, kvh=kvh, q=q):
+            m, l, acc = carry
+            k_blk = k_ref[0, pl.ds(j * block_k, block_k), kvh, :]
+            v_blk = v_ref[0, pl.ds(j * block_k, block_k), kvh, :]
+            s = lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col_ids = j * block_k + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            valid = col_ids < kv_valid
+            if causal:
+                valid = valid & (col_ids <= row_ids)
+            s = jnp.where(valid, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            pv = lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * corr + pv
+
+        m, l, acc = lax.fori_loop(0, upper, body, (m0, l0, acc0))
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, :, h, :] = (acc / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(l_safe))
+        lse_scratch[h, :] = lse[:, 0]
+    lse_ref[0] = lse_scratch[...]
+
+
+def _fwd_bshd(
+    q: jnp.ndarray,  # [B, Sq, Hq, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, sq_orig, hq, d = q.shape
+    _, skv_orig, hkv, _ = k.shape
+
+    q2 = _pad_dim(q, 1, block_q)
+    k2 = _pad_dim(k, 1, block_k)
+    v2 = _pad_dim(v, 1, block_k)
+    sq, skv = q2.shape[1], k2.shape[1]
+    nq = sq // block_q
+
+    q_spec = pl.BlockSpec(
+        (1, block_q, hq, d), lambda bi, qi: (bi, qi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (1, skv, hkv, d), lambda bi, qi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_spec = pl.BlockSpec(
+        (1, hq, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_bshd,
+            scale=scale,
+            causal=causal,
+            kv_valid=skv_orig,
+            block_k=block_k,
+            hq=hq,
+            hkv=hkv,
+        ),
+        grid=(b, nq),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, hq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((hq, block_q), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq * skv * d,
+            bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * hq * sq * skv,
+        ),
+    )(q2, k2, v2)
+    return out[:, :sq_orig], lse
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal, kv_valid, block_k
 ):
@@ -399,17 +527,54 @@ def _bwd(causal, scale, block_q, block_k, residuals, dout):
 
 # ------------------------------------------------------------------ entry ---
 
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of the ~16MB/core
+
+# The native-layout (bshd) kernel currently crashes the TPU backend compiler
+# (per-head strided sub-views of a [1, S, H, D] block); it passes interpret-
+# mode tests and stays available for experimentation, but dispatch is gated
+# off until the strided-store lowering is reworked (planned: contiguous
+# [B, S, H*D] lane-sliced layout).
+_ENABLE_BSHD = False
+
+
+def _bshd_fits(q, k, block_q: int, block_k: int) -> bool:
+    """Whether the native-layout kernel's working set fits VMEM (q tile +
+    full-length K/V for all kv heads + fp32 score scratch)."""
+    if not _ENABLE_BSHD:
+        return False
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    skv_pad = _cdiv(skv, block_k) * block_k
+    bq = min(block_q, _cdiv(sq, 8) * 8)
+    itemsize = q.dtype.itemsize
+    q_tile = bq * hq * d * itemsize
+    kv_full = 2 * skv_pad * hkv * d * itemsize
+    out_tile = bq * hq * d * itemsize
+    s_scratch = bq * block_k * 4
+    return (2 * q_tile + kv_full + 2 * out_tile + s_scratch) < _VMEM_BUDGET
+
+
+def _run_fwd(q, k, v, causal, scale, block_q, block_k):
+    """Returns (out, lse [B*Hq, Sq_pad, 1]) using the native-layout kernel
+    when it fits VMEM, else the transposed-layout kernel."""
+    b, _, hq, _ = q.shape
+    if _bshd_fits(q, k, block_q, block_k):
+        out, lse = _fwd_bshd(
+            q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k
+        )
+        lse = lse.reshape(b * hq, -1)[:, :, None]
+        return out, lse
+    return _fwd(q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k)
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, causal, scale, block_q, block_k):
-    out, _ = _fwd(q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k)
+    out, _ = _run_fwd(q, k, v, causal, scale, block_q, block_k)
     return out
 
 
 def _flash_fwd(q, k, v, causal, scale, block_q, block_k):
-    out, lse = _fwd(
-        q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k
-    )
+    out, lse = _run_fwd(q, k, v, causal, scale, block_q, block_k)
     return out, (q, k, v, out, lse)
 
 
