@@ -1,0 +1,178 @@
+"""Weight-converter structural tests: a synthetic torch-style state dict in
+the reference's naming must convert into a tree that loads into this
+framework's model (names + shapes + GQA de-interleave semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import traverse_util
+
+from aigv_assessor_tpu.core.config import AssessorConfig
+from aigv_assessor_tpu.core.precision import Precision
+from aigv_assessor_tpu.models.assessor import AIGVAssessor
+from aigv_assessor_tpu.tools.convert_weights import convert
+
+
+def tiny_torch_state_dict(cfg: AssessorConfig, rng):
+    """Reference-named tensors for the tiny config (ViT 2 layers, LLM 2
+    layers, projectors, score head)."""
+    v, l = cfg.vision, cfg.llm
+    sd = {}
+
+    def r(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    # ---- vision ----
+    sd["vision_model.embeddings.class_embedding"] = r(1, 1, v.hidden_size)
+    sd["vision_model.embeddings.position_embedding"] = r(
+        1, v.num_patches + 1, v.hidden_size
+    )
+    sd["vision_model.embeddings.patch_embedding.weight"] = r(
+        v.hidden_size, 3, v.patch_size, v.patch_size
+    )
+    sd["vision_model.embeddings.patch_embedding.bias"] = r(v.hidden_size)
+    for i in range(v.num_hidden_layers):
+        p = f"vision_model.encoder.layers.{i}."
+        sd[p + "attn.qkv.weight"] = r(3 * v.hidden_size, v.hidden_size)
+        sd[p + "attn.qkv.bias"] = r(3 * v.hidden_size)
+        sd[p + "attn.proj.weight"] = r(v.hidden_size, v.hidden_size)
+        sd[p + "attn.proj.bias"] = r(v.hidden_size)
+        sd[p + "mlp.fc1.weight"] = r(v.intermediate_size, v.hidden_size)
+        sd[p + "mlp.fc1.bias"] = r(v.intermediate_size)
+        sd[p + "mlp.fc2.weight"] = r(v.hidden_size, v.intermediate_size)
+        sd[p + "mlp.fc2.bias"] = r(v.hidden_size)
+        sd[p + "norm1.weight"] = r(v.hidden_size)
+        sd[p + "norm1.bias"] = r(v.hidden_size)
+        sd[p + "norm2.weight"] = r(v.hidden_size)
+        sd[p + "norm2.bias"] = r(v.hidden_size)
+        sd[p + "ls1"] = r(v.hidden_size)
+        sd[p + "ls2"] = r(v.hidden_size)
+    # ---- llm (interleaved wqkv like the reference checkpoint) ----
+    sd["language_model.model.tok_embeddings.weight"] = r(l.vocab_size, l.hidden_size)
+    sd["language_model.model.norm.weight"] = r(l.hidden_size)
+    sd["language_model.output.weight"] = r(l.vocab_size, l.hidden_size)
+    for i in range(l.num_hidden_layers):
+        p = f"language_model.model.layers.{i}."
+        g = l.num_key_value_groups
+        sd[p + "attention.wqkv.weight"] = r(
+            l.num_key_value_heads * (g + 2) * l.head_dim, l.hidden_size
+        )
+        sd[p + "attention.wo.weight"] = r(l.hidden_size, l.hidden_size)
+        sd[p + "feed_forward.w1.weight"] = r(l.intermediate_size, l.hidden_size)
+        sd[p + "feed_forward.w3.weight"] = r(l.intermediate_size, l.hidden_size)
+        sd[p + "feed_forward.w2.weight"] = r(l.hidden_size, l.intermediate_size)
+        sd[p + "attention_norm.weight"] = r(l.hidden_size)
+        sd[p + "ffn_norm.weight"] = r(l.hidden_size)
+    # ---- projectors + score head ----
+    vit4 = v.hidden_size * 4
+    sd["mlp1.0.weight"] = r(vit4)
+    sd["mlp1.0.bias"] = r(vit4)
+    sd["mlp1.1.weight"] = r(l.hidden_size, vit4)
+    sd["mlp1.1.bias"] = r(l.hidden_size)
+    sd["mlp1.3.weight"] = r(l.hidden_size, l.hidden_size)
+    sd["mlp1.3.bias"] = r(l.hidden_size)
+    sd["motion_mlp.0.weight"] = r(cfg.motion.feature_dim)
+    sd["motion_mlp.0.bias"] = r(cfg.motion.feature_dim)
+    sd["motion_mlp.1.weight"] = r(l.hidden_size, cfg.motion.feature_dim)
+    sd["motion_mlp.1.bias"] = r(l.hidden_size)
+    sd["motion_mlp.3.weight"] = r(l.hidden_size, l.hidden_size)
+    sd["motion_mlp.3.bias"] = r(l.hidden_size)
+    dims = (cfg.llm.hidden_size,) + cfg.score_head_dims
+    for i in range(len(cfg.score_head_dims)):
+        sd[f"mlpscore.fc{i + 1}.weight"] = r(dims[i + 1], dims[i])
+        sd[f"mlpscore.fc{i + 1}.bias"] = r(dims[i + 1])
+    return sd
+
+
+class TestConverter:
+    def test_converted_tree_loads_into_model(self):
+        cfg = AssessorConfig.tiny(stage=2).replace(img_context_token_id=4)
+        rng = np.random.default_rng(0)
+        sd = tiny_torch_state_dict(cfg, rng)
+        converted = convert(sd, cfg)
+
+        model = AIGVAssessor(cfg, Precision.fp32())
+        ids = jnp.zeros((1, 32), jnp.int32)
+        px = jnp.zeros((1, 4, 56, 56, 3), jnp.float32)
+        template = model.init(jax.random.key(0), ids, px, mos=jnp.zeros((1,)))
+
+        tflat = traverse_util.flatten_dict(template)
+        cflat = traverse_util.flatten_dict(converted)
+        # every converted leaf must exist in the model with matching shape
+        # (except slowfast, not in this synthetic dict)
+        for key, val in cflat.items():
+            assert key in tflat, f"converted key not in model: {key}"
+            assert tflat[key].shape == val.shape, (
+                key, tflat[key].shape, val.shape
+            )
+        # and the model's non-slowfast params must be fully covered
+        missing = [
+            k
+            for k in tflat
+            if k not in cflat and "slowfast_model" not in "/".join(map(str, k))
+        ]
+        assert not missing, f"model params not covered: {missing[:10]}"
+
+    def test_wqkv_deinterleave_matches_model_slicing(self):
+        """End-to-end GQA layout check: torch interleaved wqkv -> converter ->
+        the model's [q|k|v] slicing must recover the same per-head weights
+        the reference's rearrange produces."""
+        cfg = AssessorConfig.tiny(stage=1)
+        l = cfg.llm
+        rng = np.random.default_rng(1)
+        g = l.num_key_value_groups
+        w_torch = rng.normal(
+            size=(l.num_key_value_heads * (g + 2) * l.head_dim, l.hidden_size)
+        ).astype(np.float32)
+
+        from aigv_assessor_tpu.tools.convert_weights import deinterleave_wqkv
+
+        kernel = deinterleave_wqkv(
+            w_torch, l.num_attention_heads, l.num_key_value_heads, l.head_dim
+        ).T  # [in, out] as stored
+
+        x = rng.normal(size=(1, 3, l.hidden_size)).astype(np.float32)
+        qkv = x @ kernel
+        hq, hkv, d = l.num_attention_heads, l.num_key_value_heads, l.head_dim
+        q = qkv[..., : hq * d].reshape(1, 3, hq, d)
+        k = qkv[..., hq * d : (hq + hkv) * d].reshape(1, 3, hkv, d)
+
+        # reference semantics: x @ w.T, reshape (h, gs, d), q = [:, :, :g]
+        ref = (x @ w_torch.T).reshape(1, 3, hkv, g + 2, d)
+        ref_q = ref[:, :, :, :g, :].reshape(1, 3, hq, d)
+        ref_k = ref[:, :, :, g, :]
+        np.testing.assert_allclose(q, ref_q, rtol=1e-5)
+        np.testing.assert_allclose(k, ref_k, rtol=1e-5)
+
+    def test_slowfast_name_mapping(self):
+        from aigv_assessor_tpu.tools.convert_weights import map_slowfast_key
+
+        cases = {
+            "slowfast_model.feature_extraction.0.multipathway_blocks.0.conv.weight":
+                ("slow_stem/conv/conv/kernel", "conv"),
+            "slowfast_model.feature_extraction.0.multipathway_blocks.1.norm.running_mean":
+                ("fast_stem/conv/bn/mean", "plain"),
+            "slowfast_model.feature_extraction.0.multipathway_fusion.conv_fast_to_slow.weight":
+                ("fuse_stem/conv/conv/kernel", "conv"),
+            "slowfast_model.feature_extraction.1.multipathway_blocks.0.res_blocks.2.branch2.conv_b.weight":
+                ("slow_res2/block_2/conv_b/conv/kernel", "conv"),
+            "slowfast_model.feature_extraction.4.multipathway_blocks.1.res_blocks.0.branch1_norm.running_var":
+                ("fast_res5/block_0/shortcut/bn/var", "plain"),
+        }
+        for key, want in cases.items():
+            assert map_slowfast_key(key) == want, key
+
+    def test_peft_key_normalization(self):
+        from aigv_assessor_tpu.tools.convert_weights import normalize_peft_keys
+
+        sd = {
+            "base_model.model.language_model.model.layers.0.attention.wqkv.base_layer.weight": np.zeros(1),
+            "base_model.model.language_model.model.layers.0.attention.wqkv.lora_A.default.weight": np.zeros(1),
+            "base_model.model.language_model.model.layers.0.attention.wqkv.lora_B.default.weight": np.zeros(1),
+        }
+        out = normalize_peft_keys(sd)
+        keys = set(out)
+        assert "language_model.model.layers.0.attention.wqkv.weight" in keys
+        assert "language_model.model.layers.0.attention.wqkv.lora_a" in keys
+        assert "language_model.model.layers.0.attention.wqkv.lora_b" in keys
