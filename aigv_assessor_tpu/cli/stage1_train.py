@@ -11,14 +11,12 @@ periodically with quality-level accuracy and keeping the best checkpoint
 from __future__ import annotations
 
 import logging
-import math
 import os
 import sys
 
 from aigv_assessor_tpu.cli.args import parse_args
 from aigv_assessor_tpu.cli.common import build_model_and_tokenizer, mesh_from_args
 from aigv_assessor_tpu.core.dist import init_dist
-from aigv_assessor_tpu.data.collator import collate
 from aigv_assessor_tpu.data.dataset import build_datasets
 from aigv_assessor_tpu.data.loader import DataLoader
 from aigv_assessor_tpu.data.sampler import LengthGroupedSampler, ShardedBatchSampler
@@ -44,8 +42,6 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE):
 
     config, model, params, tokenizer = build_model_and_tokenizer(args, stage)
     mesh = mesh_from_args(args)
-    import jax
-
     n_dp = mesh.shape["data"] * mesh.shape["fsdp"]
 
     train_ds = build_datasets(
@@ -134,10 +130,6 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE):
             args.resume_from_checkpoint
         ).restore(trainer.state)
         logger.info("resumed from %s", args.resume_from_checkpoint)
-
-    lengths = [
-        getattr(s, "length", 0) or 1 for s in []
-    ]  # lengths resolved lazily below
 
     def data_iter(epoch):
         if args.group_by_length and hasattr(train_ds, "raw_data"):

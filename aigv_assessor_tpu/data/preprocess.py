@@ -145,13 +145,127 @@ def preprocess_internlm(
     return results
 
 
+def _preprocess_turns(
+    template_name: str,
+    sources: Sequence[Sequence[Dict[str, str]]],
+    tokenizer: AIGVTokenizer,
+    num_image_token_list: Sequence[int],
+    text_only: bool = False,
+    group_by_length: bool = False,
+    ds_name: str = None,
+    *,
+    add_bos: bool,
+    turn_len_fn,
+    instr_len_fn,
+    start_offset: int,
+    mask_endoftext: bool = False,
+) -> List[PreprocessedSample]:
+    """Shared turn-splitting masker behind `preprocess_mpt`
+    (`dataset.py:392-486`: no bos, offsets 0) and `preprocess_phi3`
+    (`dataset.py:489-592`: bos-adjusted offsets, <|endoftext|> masked):
+    turns are regrouped as [system+user+gpt, user+gpt, ...] by splitting at
+    the separator, each turn's instruction prefix masked by re-tokenized
+    length."""
+    conv = get_conv_template(template_name)
+    conversations = [render_conversation(template_name, s) for s in sources]
+    if not text_only:
+        conversations = [
+            expand_image_tokens(c, num_image_token_list) for c in conversations
+        ]
+
+    max_len = tokenizer.model_max_length
+    pad_id = tokenizer.pad_token_id
+    sep = conv.sep + conv.roles[1]
+    results = []
+    for conversation in conversations:
+        ids = tokenizer.encode(conversation, add_bos=add_bos)
+        if len(ids) > max_len:
+            ids = ids[:max_len]
+        real_len = len(ids)
+        if not group_by_length:
+            ids = ids + [pad_id] * (max_len - len(ids))
+        input_ids = np.asarray(ids, np.int32)
+        target = input_ids.copy()
+
+        turns = conversation.split(conv.sep)
+        re_turns = [conv.sep.join(turns[:3])]
+        for idx in range(3, len(turns), 2):
+            re_turns.append(conv.sep.join(turns[idx : idx + 2]))
+        cur_len = start_offset
+        target[:cur_len] = IGNORE_TOKEN_ID
+        if mask_endoftext:
+            eot = tokenizer.convert_tokens_to_ids("<|endoftext|>")
+            if eot is not None:
+                target[target == eot] = IGNORE_TOKEN_ID
+
+        def tok_len(text):
+            return len(tokenizer.encode(text, add_bos=add_bos))
+
+        mismatch = False
+        for i, turn in enumerate(re_turns):
+            if turn == "":
+                break
+            turn_len = turn_len_fn(tok_len(turn), i)
+            parts = turn.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            instruction_len = instr_len_fn(tok_len(parts[0]), i)
+            target[cur_len : cur_len + instruction_len] = IGNORE_TOKEN_ID
+            cur_len += turn_len
+        target[cur_len:] = IGNORE_TOKEN_ID
+
+        if cur_len < max_len and cur_len != real_len:
+            target[:] = IGNORE_TOKEN_ID
+            mismatch = True
+
+        attention_mask = np.zeros(input_ids.shape, bool)
+        attention_mask[:real_len] = True
+        results.append(
+            PreprocessedSample(
+                input_ids=input_ids,
+                labels=target.astype(np.int32),
+                attention_mask=attention_mask,
+                mismatch=mismatch,
+            )
+        )
+    return results
+
+
+def preprocess_mpt(*args, **kw) -> List[PreprocessedSample]:
+    """Hermes-2 masker (reference `preprocess_mpt`, `dataset.py:392-486`):
+    no bos; every turn costs len(tokens)+1 (the separator consumed by the
+    split); instruction prefix is its raw token length."""
+    return _preprocess_turns(
+        *args,
+        **kw,
+        add_bos=False,
+        start_offset=0,
+        turn_len_fn=lambda n, i: n + 1,
+        instr_len_fn=lambda n, i: n,
+        mask_endoftext=False,
+    )
+
+
+def preprocess_phi3(*args, **kw) -> List[PreprocessedSample]:
+    """phi3-chat masker (reference `preprocess_phi3`, `dataset.py:489-592`):
+    bos-counted lengths (turn: raw for the first, -1 after; instruction: -1
+    first, -2 after), <|endoftext|> masked, cur_len starts past bos."""
+    return _preprocess_turns(
+        *args,
+        **kw,
+        add_bos=True,
+        start_offset=1,
+        turn_len_fn=lambda n, i: n if i == 0 else n - 1,
+        instr_len_fn=lambda n, i: n - 1 if i == 0 else n - 2,
+        mask_endoftext=True,
+    )
+
+
 PREPROCESSORS = {
     "internlm2-chat": preprocess_internlm,
-    # Hermes-2 / phi3-chat use the same MPT separator structure; the
-    # reference's `preprocess_mpt`/`preprocess_phi3` differ only in role
-    # strings, which the template provides (`dataset.py:392-592`).
-    "Hermes-2": preprocess_internlm,
-    "phi3-chat": preprocess_internlm,
+    "Hermes-2": preprocess_mpt,
+    "phi3-chat": preprocess_phi3,
 }
 
 

@@ -82,8 +82,12 @@ def _fwd_kernel_bshd(
     q_ref,  # [1, BQ, Hq, D]
     k_ref,  # [1, Skv, Hkv, D]
     v_ref,
-    o_ref,  # [1, BQ, Hq, D]
+    o_ref,  # [1, Hq, BQ, D] (head-major: leading-dim store avoids an
+            # unsupported strided-store reshape in Mosaic)
     lse_ref,  # [1, Hq, BQ]
+    q_scr,  # VMEM [BQ, D]
+    k_scr,  # VMEM [Skv_pad, D]
+    v_scr,  # VMEM [Skv_pad, D]
     lse_scratch,  # VMEM [Hq, BQ]
     *,
     scale,
@@ -96,7 +100,11 @@ def _fwd_kernel_bshd(
     """Native-layout forward: heads looped inside the kernel, so the caller
     needs NO HBM transposes around the pallas boundary (XLA cannot fuse
     through a pallas_call; the [B,S,H,D]->[B*H,S,D] relayout cost ~40% of the
-    attention wall-clock on the ViT shape)."""
+    attention wall-clock on the ViT shape).
+
+    MXU operands must be contiguous: per-head slices of the [.., H, D] block
+    are staged through VMEM scratch first (a strided slice feeding
+    dot_general crashes the Mosaic backend; plain VPU copies are fine)."""
     block_q = q_ref.shape[1]
     qi = pl.program_id(1)
     g = hq // hkv
@@ -110,17 +118,21 @@ def _fwd_kernel_bshd(
     row_ids = qi * block_q + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     for h in range(hq):  # static unroll over heads
-        q = q_ref[0, :, h, :] * scale  # [BQ, D]; scale folded once
+        q_scr[...] = q_ref[0, :, h, :] * scale  # contiguous staging
         kvh = h // g
+        if h % g == 0:  # new kv head: restage K/V once per group
+            k_scr[...] = k_ref[0, :, kvh, :]
+            v_scr[...] = v_ref[0, :, kvh, :]
+        q = q_scr[...]
 
         m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_q, 1), jnp.float32)
         acc0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
 
-        def body(j, carry, kvh=kvh, q=q):
+        def body(j, carry, q=q):
             m, l, acc = carry
-            k_blk = k_ref[0, pl.ds(j * block_k, block_k), kvh, :]
-            v_blk = v_ref[0, pl.ds(j * block_k, block_k), kvh, :]
+            k_blk = k_scr[pl.ds(j * block_k, block_k), :]
+            v_blk = v_scr[pl.ds(j * block_k, block_k), :]
             s = lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -144,7 +156,7 @@ def _fwd_kernel_bshd(
 
         m, l, acc = lax.fori_loop(0, upper, body, (m0, l0, acc0))
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, :, h, :] = (acc / l_safe).astype(o_ref.dtype)
+        o_ref[0, h, :, :] = (acc / l_safe).astype(o_ref.dtype)
         lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(l_safe))
         lse_scratch[h, :] = lse[:, 0]
     lse_ref[0] = lse_scratch[...]
@@ -179,6 +191,10 @@ def _fwd_bshd(
     lse_spec = pl.BlockSpec(
         (1, hq, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM
     )
+    o_spec = pl.BlockSpec(
+        (1, hq, block_q, d), lambda bi, qi: (bi, 0, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel_bshd,
@@ -191,18 +207,24 @@ def _fwd_bshd(
         ),
         grid=(b, nq),
         in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=[q_spec, lse_spec],
+        out_specs=[o_spec, lse_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, sq, hq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, hq, sq), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((hq, block_q), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), q.dtype),  # q staging
+            pltpu.VMEM((skv, d), k.dtype),  # k staging
+            pltpu.VMEM((skv, d), v.dtype),  # v staging
+            pltpu.VMEM((hq, block_q), jnp.float32),  # lse rows
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * skv * d,
             bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * hq * sq * skv,
         ),
     )(q2, k2, v2)
+    out = out.transpose(0, 2, 1, 3)  # head-major -> [B, Sq, Hq, D]
     return out[:, :sq_orig], lse
 
 
@@ -529,17 +551,17 @@ def _bwd(causal, scale, block_q, block_k, residuals, dout):
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of the ~16MB/core
 
-# The native-layout (bshd) kernel currently crashes the TPU backend compiler
-# (per-head strided sub-views of a [1, S, H, D] block); it passes interpret-
-# mode tests and stays available for experimentation, but dispatch is gated
-# off until the strided-store lowering is reworked (planned: contiguous
-# [B, S, H*D] lane-sliced layout).
+# Gated off: the staged bshd kernel now lowers, but the 16-way python head
+# unroll keeps every head's fp32 score tile live on the VMEM stack (24.9MB >
+# the v5e's 16MB) at useful tile sizes. Next iteration: fori_loop over heads
+# with leading-dim (head-major) refs so temporaries are reused.
 _ENABLE_BSHD = False
 
 
 def _bshd_fits(q, k, block_q: int, block_k: int) -> bool:
     """Whether the native-layout kernel's working set fits VMEM (q tile +
-    full-length K/V for all kv heads + fp32 score scratch)."""
+    full-length K/V for all kv heads + contiguous staging scratch + fp32
+    score tile)."""
     if not _ENABLE_BSHD:
         return False
     b, sq, hq, d = q.shape
@@ -550,8 +572,11 @@ def _bshd_fits(q, k, block_q: int, block_k: int) -> bool:
     q_tile = bq * hq * d * itemsize
     kv_full = 2 * skv_pad * hkv * d * itemsize
     out_tile = bq * hq * d * itemsize
+    staging = (bq + 2 * skv_pad) * d * itemsize
     s_scratch = bq * block_k * 4
-    return (2 * q_tile + kv_full + 2 * out_tile + s_scratch) < _VMEM_BUDGET
+    return (
+        2 * q_tile + kv_full + 2 * out_tile + staging + s_scratch
+    ) < _VMEM_BUDGET
 
 
 def _run_fwd(q, k, v, causal, scale, block_q, block_k):

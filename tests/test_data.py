@@ -238,3 +238,32 @@ class TestDatasetEnd2End:
         assert parse_mos({"mos": 3.0, "id": "y"}) == 3.0
         with pytest.raises(KeyError):
             parse_mos({"id": "nomos"})
+
+
+class TestTurnPreprocessors:
+    def test_mpt_masks_only_answers(self, tok):
+        from aigv_assessor_tpu.data.preprocess import preprocess_mpt
+        from aigv_assessor_tpu.data.constants import IGNORE_TOKEN_ID
+
+        convs = [
+            {"from": "human", "value": "How would you rate the static quality of this video? "},
+            {"from": "gpt", "value": "The static quality of the video is good."},
+        ]
+        (res,) = preprocess_mpt("Hermes-2", [convs], tok, [])
+        kept = res.labels[res.labels != IGNORE_TOKEN_ID]
+        if not res.mismatch:
+            decoded = tok.decode(kept)
+            assert "good" in decoded
+            assert "How would you rate" not in decoded
+
+    def test_phi3_no_crash_and_pad_masked(self, tok):
+        from aigv_assessor_tpu.data.preprocess import preprocess_phi3
+        from aigv_assessor_tpu.data.constants import IGNORE_TOKEN_ID
+
+        convs = [
+            {"from": "human", "value": "rate this"},
+            {"from": "gpt", "value": "The static quality of the video is poor."},
+        ]
+        (res,) = preprocess_phi3("phi3-chat", [convs], tok, [])
+        assert len(res.input_ids) == tok.model_max_length
+        assert np.all(res.labels[~res.attention_mask] == IGNORE_TOKEN_ID)

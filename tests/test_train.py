@@ -238,3 +238,32 @@ class TestRemat:
             jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from aigv_assessor_tpu.train.checkpoint import CheckpointManager
+        from aigv_assessor_tpu.train.trainer import TrainState
+
+        state = TrainState(
+            params={"w": jnp.arange(6.0).reshape(2, 3)},
+            opt_state={"m": jnp.ones((2, 3))},
+            step=jnp.asarray(7, jnp.int32),
+        )
+        mgr = CheckpointManager(str(tmp_path / "ck"), save_total_limit=2)
+        mgr.save(7, state)
+        mgr.save(8, TrainState(
+            params={"w": jnp.zeros((2, 3))},
+            opt_state={"m": jnp.zeros((2, 3))},
+            step=jnp.asarray(8, jnp.int32),
+        ), best=True)
+        assert mgr.latest_step() == 8
+        template = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = mgr.restore(template, step=7)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["w"]), np.arange(6.0).reshape(2, 3)
+        )
+        assert int(restored.step) == 7
+        best = mgr.restore_best(template)
+        assert int(best.step) == 8
+        mgr.close()
