@@ -83,6 +83,10 @@ def main(argv=None):
     ap.add_argument("--mos_scale", type=float, default=100.0,
                     help="multiply model scores back to MOS range (stage-2 "
                          "trains on mos/100, stage2_train.py:613)")
+    ap.add_argument("--device_preprocess", type=_bool, default=True,
+                    help="decode at native size on host, fused bicubic "
+                         "resize+normalize on device (ops/preprocess.py); "
+                         "False = host PIL path (training parity)")
     args = ap.parse_args(argv)
 
     # reuse the training CLI assembly (tiny fallback when no checkpoint)
@@ -137,7 +141,16 @@ def main(argv=None):
     # threaded decode ahead of the device
     from concurrent.futures import ThreadPoolExecutor
 
+    from aigv_assessor_tpu.ops.preprocess import resize_normalize
+
     def load_one(path):
+        if args.device_preprocess:
+            frames = load_video(path, num_segments=args.num_segments)
+            raw = np.stack([np.asarray(f, np.uint8) for f in frames])
+            return np.asarray(
+                resize_normalize(jnp.asarray(raw), size=image_size,
+                                 dtype=jnp.float32)
+            )
         frames = load_video(path, num_segments=args.num_segments)
         return transform_frames(frames, input_size=image_size)
 

@@ -32,6 +32,12 @@ CLIP_STD = (0.2686295, 0.2613025, 0.2757711)
 SIGLIP_MEAN = (0.5, 0.5, 0.5)
 SIGLIP_STD = (0.5, 0.5, 0.5)
 
+NORMALIZE_STATS = {
+    "imagenet": (IMAGENET_MEAN, IMAGENET_STD),
+    "clip": (CLIP_MEAN, CLIP_STD),
+    "siglip": (SIGLIP_MEAN, SIGLIP_STD),
+}
+
 IGNORE_TOKEN_ID = -100
 
 # quality-word -> level mapping used by stage-1 evaluation

@@ -167,3 +167,35 @@ class TestSplice:
             jnp.full((1, 2), 2.0),
         )
         assert out.shape == (1, 4, 2)
+
+
+class TestDevicePreprocess:
+    def test_resize_normalize_matches_host_stats(self):
+        from aigv_assessor_tpu.ops.preprocess import resize_normalize
+
+        rng = np.random.default_rng(0)
+        raw = rng.integers(0, 256, (2, 3, 40, 60, 3)).astype(np.uint8)
+        out = resize_normalize(jnp.asarray(raw), size=32, dtype=jnp.float32)
+        assert out.shape == (2, 3, 32, 32, 3)
+        # a mid-gray image must land near the normalized imagenet-mean value
+        gray = np.full((1, 8, 8, 3), 124, np.uint8)
+        g = np.asarray(resize_normalize(jnp.asarray(gray), size=8, dtype=jnp.float32))
+        want = (124 / 255.0 - 0.485) / 0.229
+        np.testing.assert_allclose(g[..., 0].mean(), want, atol=1e-2)
+
+    def test_close_to_pil_path(self):
+        """Device bicubic vs PIL bicubic: same image, small tolerance."""
+        from PIL import Image
+        from aigv_assessor_tpu.ops.preprocess import resize_normalize
+        from aigv_assessor_tpu.data.video import transform_frames
+
+        rng = np.random.default_rng(1)
+        raw = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        img = Image.fromarray(raw)
+        host = transform_frames([img], input_size=32)[0]
+        dev = np.asarray(
+            resize_normalize(jnp.asarray(raw[None]), size=32, dtype=jnp.float32)
+        )[0]
+        # random noise is the worst case for resampling differences; just
+        # bound the mean deviation
+        assert np.abs(host - dev).mean() < 0.5
