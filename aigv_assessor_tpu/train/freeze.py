@@ -62,6 +62,32 @@ def make_trainable_mask(
     return jax.tree_util.tree_map_with_path(trainable, params)
 
 
+def partition_params(params: Any, mask: Any):
+    """Split a param tree into (trainable, frozen) flat dicts by the bool
+    mask tree. Differentiating only the trainable partition lets XLA dead-
+    code-eliminate every frozen layer's weight-gradient matmul — for stage-1
+    (frozen ViT + frozen LLM) that removes ~1/3 of the backward FLOPs."""
+    from flax import traverse_util
+
+    flat_p = traverse_util.flatten_dict(params)
+    flat_m = traverse_util.flatten_dict(mask)
+    trainable = {k: v for k, v in flat_p.items() if flat_m[k]}
+    frozen = {k: v for k, v in flat_p.items() if not flat_m[k]}
+    # nested (string-keyed) trees: orbax/serialization-friendly
+    return (
+        traverse_util.unflatten_dict(trainable),
+        traverse_util.unflatten_dict(frozen),
+    )
+
+
+def merge_params(trainable: Any, frozen: Any) -> Any:
+    from flax import traverse_util
+
+    merged = dict(traverse_util.flatten_dict(frozen))
+    merged.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(merged)
+
+
 def count_params(params: Any, mask: Any = None) -> Dict[str, int]:
     total = sum(x.size for x in jax.tree_util.tree_leaves(params))
     if mask is None:

@@ -47,7 +47,12 @@ from aigv_assessor_tpu.parallel.sharding import (
     make_param_shardings,
     shard_batch,
 )
-from aigv_assessor_tpu.train.freeze import count_params, make_trainable_mask
+from aigv_assessor_tpu.train.freeze import (
+    count_params,
+    make_trainable_mask,
+    merge_params,
+    partition_params,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -131,16 +136,13 @@ def make_optimizer(
         from aigv_assessor_tpu.train.layer_decay import scale_by_layer_decay
 
         chain.append(scale_by_layer_decay(layer_decay))
-    tx = optax.chain(*chain)
-    # multi_transform (not optax.masked): masked() passes the raw gradients
-    # THROUGH as updates for mask-False leaves; frozen params must get a hard
-    # zero update and no optimizer state.
-    labels = jax.tree_util.tree_map(
-        lambda t: "train" if t else "freeze", trainable_mask
-    )
-    return optax.multi_transform(
-        {"train": tx, "freeze": optax.set_to_zero()}, labels
-    )
+    # the optimizer operates on the TRAINABLE partition only (see
+    # freeze.partition_params): frozen params never enter autodiff or the
+    # optimizer, so XLA drops their weight-gradient matmuls entirely and no
+    # optimizer state exists for them. (An earlier optax.masked() variant
+    # passed raw gradients through as updates for frozen leaves — caught by
+    # the overfit probe.)
+    return optax.chain(*chain)
 
 
 @dataclass
@@ -207,6 +209,8 @@ class Trainer:
                 train_config.llm_layer_decay_rate,
                 train_config.llm_lr_scale,
             )
+        if layer_decay is not None:
+            layer_decay, _ = partition_params(layer_decay, self.trainable_mask)
         self.tx = make_optimizer(
             train_config, total_steps, self.trainable_mask, layer_decay
         )
@@ -223,10 +227,8 @@ class Trainer:
         with self.mesh:
             param_shardings = make_param_shardings(params, self.mesh)
             params = jax.tree_util.tree_map(jax.device_put, params, param_shardings)
-            opt_state = jax.jit(
-                self.tx.init,
-                in_shardings=(param_shardings,),
-            )(params)
+            trainable0, _ = partition_params(params, self.trainable_mask)
+            opt_state = jax.jit(self.tx.init)(trainable0)
         self.state = TrainState(
             params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
         )
@@ -251,28 +253,34 @@ class Trainer:
     def _train_step(self, state: TrainState, batch, dropout_rng):
         """One optimizer step over `accum` microbatches (leading dim).
 
+        Autodiff runs over the TRAINABLE param partition only (frozen params
+        are closed-over constants -> their dW matmuls are dead code).
         Activation remat is applied inside the model (per-layer nn.remat via
         the model's `remat` flag), not here — wrapping the whole loss in
         jax.checkpoint is a no-op at the outermost boundary."""
-        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        trainable, frozen = partition_params(state.params, self.trainable_mask)
+
+        def loss_of_trainable(trainable, mb, rng):
+            return self._loss_fn(merge_params(trainable, frozen), mb, rng)
+
+        grad_fn = jax.value_and_grad(loss_of_trainable, has_aux=True)
 
         def micro(carry, mb):
             grads_acc, loss_acc, rng = carry
             rng, sub = jax.random.split(rng)
-            (loss, _), grads = grad_fn(state.params, mb, sub)
+            (loss, _), grads = grad_fn(trainable, mb, sub)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss, rng), None
 
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
         accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
         (grads, loss_sum, _), _ = jax.lax.scan(
             micro, (zeros, 0.0, dropout_rng), batch
         )
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-        updates, opt_state = self.tx.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = self.tx.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        params = merge_params(trainable, frozen)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             loss_sum / accum,
