@@ -184,10 +184,15 @@ class VideoQualityDataset:
         conversations = [dict(c) for c in data_item["conversations"]]
         if "<image>" not in conversations[0]["value"]:
             conversations[0]["value"] = "<image>\n" + conversations[0]["value"]
-        from PIL import Image
+        from aigv_assessor_tpu.data.storage import is_remote, open_image
 
-        image_path = os.path.join(self.root, data_item["image"])
-        image = Image.open(image_path).convert("RGB")
+        # s3://-style roots are PREPENDED like the reference
+        # (`stage1_train.py:470-476`): remote prefixing concatenates
+        if is_remote(self.root) or is_remote(data_item["image"]):
+            image_path = self.root + data_item["image"]
+        else:
+            image_path = os.path.join(self.root, data_item["image"])
+        image = open_image(image_path)
         tiles = dynamic_preprocess(
             image,
             min_num=cfg.min_dynamic_patch,

@@ -267,3 +267,30 @@ class TestTurnPreprocessors:
         (res,) = preprocess_phi3("phi3-chat", [convs], tok, [])
         assert len(res.input_ids) == tok.model_max_length
         assert np.all(res.labels[~res.attention_mask] == IGNORE_TOKEN_ID)
+
+
+class TestStorage:
+    def test_register_and_dispatch(self):
+        from aigv_assessor_tpu.data import storage
+
+        calls = []
+
+        def fake(path):
+            calls.append(path)
+            import io
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("RGB", (8, 8)).save(buf, format="PNG")
+            return buf.getvalue()
+
+        storage.register_loader("fake://", fake)
+        img = storage.open_image("fake://bucket/x.png")
+        assert img.size == (8, 8)
+        assert calls == ["fake://bucket/x.png"]
+
+    def test_unregistered_remote_raises(self):
+        from aigv_assessor_tpu.data import storage
+
+        with pytest.raises(IOError):
+            storage.open_bytes("s3missing://bucket/y.bin")

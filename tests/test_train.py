@@ -267,3 +267,42 @@ class TestCheckpointManager:
         best = mgr.restore_best(template)
         assert int(best.step) == 8
         mgr.close()
+
+
+class TestTrainerCheckpointIntegration:
+    def test_trainer_state_orbax_roundtrip(self, tmp_path):
+        """The partitioned opt_state (nested subset tree) must survive an
+        orbax save/restore."""
+        from aigv_assessor_tpu.train.checkpoint import CheckpointManager
+
+        cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=4)
+        model = AIGVAssessor(cfg, FP32)
+        batch = make_batch(cfg, b=1, frames=4, seq=64)
+        mesh = make_mesh(MeshConfig(1, 1, 1))
+        tcfg = TrainConfig(
+            learning_rate=1e-3, warmup_ratio=0.0, lr_scheduler_type="constant",
+            grad_checkpoint=False, output_dir=str(tmp_path),
+        )
+        params = model.init(
+            jax.random.key(0),
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["pixel_values"]),
+            labels=jnp.asarray(batch["labels"]),
+        )
+        trainer = Trainer(model, params, tcfg, total_steps=3, mesh=mesh)
+        step = trainer.compiled_step()
+        with mesh:
+            trainer.state, _ = step(
+                trainer.state, microbatch(batch, 1), jax.random.key(1)
+            )
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(1, trainer.state)
+        template = jax.tree_util.tree_map(np.zeros_like, jax.device_get(trainer.state))
+        restored = mgr.restore(template)
+        assert int(restored.step) == 1
+        # params and opt_state content preserved
+        a = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        mgr.close()
