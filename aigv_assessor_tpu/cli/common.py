@@ -9,16 +9,15 @@ size, and wire the img_context token id from the tokenizer
 
 from __future__ import annotations
 
-import json
 import logging
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aigv_assessor_tpu.core.config import AssessorConfig, LLMConfig, VisionConfig
+from aigv_assessor_tpu.core.config import AssessorConfig, LLMConfig
 from aigv_assessor_tpu.core.mesh import MeshConfig, make_mesh
 from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.data.tokenizer import AIGVTokenizer, build_test_tokenizer

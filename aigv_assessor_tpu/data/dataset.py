@@ -21,9 +21,8 @@ from __future__ import annotations
 import json
 import logging
 import os
-import random
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 

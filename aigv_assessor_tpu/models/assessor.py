@@ -28,7 +28,7 @@ the LAST <IMG_CONTEXT> slot, stage-2 text CE computed but not trained on.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,15 +14,12 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
-import jax
-
 from aigv_assessor_tpu.core.config import AssessorConfig
 from aigv_assessor_tpu.core.mesh import MeshConfig, make_mesh
 from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.data.tokenizer import AIGVTokenizer
 from aigv_assessor_tpu.models.assessor import AIGVAssessor
 from aigv_assessor_tpu.parallel.sharding import shard_params
-from aigv_assessor_tpu.train.checkpoint import load_params
 
 
 def load_model_and_tokenizer(

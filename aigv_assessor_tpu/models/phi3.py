@@ -17,8 +17,8 @@ Behavioral port of `/root/reference/internvl/model/phi3/modeling_phi3.py`
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -1,0 +1,104 @@
+"""Int8-weight matmul kernel (serving building block).
+
+TPU-native replacement for bitsandbytes' int8 inference path
+(`/root/reference/requirements.txt:2`, `internvl/model/__init__.py:41`
+8-bit load): weights live in HBM as per-output-channel symmetric int8
+(the format written by `tools/convert_to_int8.py`); the kernel DMAs the int8
+bytes (halving weight-streaming bandwidth — the binding constraint of
+autoregressive decode, measured ~410 GB/s of 819 peak at 2B bs=1) and
+dequantizes in VMEM right before the MXU dot.
+
+    y[M, N] = (x[M, K] @ (w_int8[K, N] * scale[N]))  — computed as
+    (x @ w_bf16_tile) * scale with the cast fused in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _kernel(x_ref, w_ref, scale_ref, o_ref, *, block_k, k_total):
+    """x [BM, K] bf16; w [K, BN] int8; scale [1, BN] f32; o [BM, BN]."""
+    bm = x_ref.shape[0]
+    bn = w_ref.shape[1]
+    nk = _cdiv(k_total, block_k)
+
+    def body(i, acc):
+        x_blk = x_ref[:, pl.ds(i * block_k, block_k)]
+        w_blk = w_ref[pl.ds(i * block_k, block_k), :]  # int8 in VMEM
+        w_deq = w_blk.astype(x_blk.dtype)  # cast on the VPU, not in HBM
+        return acc + lax.dot_general(
+            x_blk, w_deq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = lax.fori_loop(0, nk, body, jnp.zeros((bm, bn), jnp.float32))
+    o_ref[...] = (acc * scale_ref[0, :][None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype")
+)
+def int8_matmul(
+    x: jnp.ndarray,  # [M, K] bf16/f32
+    w_int8: jnp.ndarray,  # [K, N] int8
+    scale: jnp.ndarray,  # [N] f32 (per-output-channel)
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    m, k = x.shape
+    k2, n = w_int8.shape
+    assert k == k2 and scale.shape == (n,)
+
+    bm = min(block_m, max(8, _cdiv(m, 8) * 8))
+    bn = min(block_n, n)
+    bk = min(block_k, k)
+    assert n % bn == 0, (n, bn)
+    assert k % bk == 0, (k, bk)
+
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    scale2 = scale.reshape(1, n).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_k=bk, k_total=k),
+        grid=(m_pad // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=x.size * x.dtype.itemsize + w_int8.size + n * 4,
+            transcendentals=0,
+        ),
+    )(x, w_int8, scale2)
+    return out[:m]
+
+
+def quantize_weight(w: jnp.ndarray):
+    """[K, N] float -> (int8 [K, N], scale [N]); matches
+    tools/convert_to_int8.quantize_kernel."""
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale[0].astype(jnp.float32)

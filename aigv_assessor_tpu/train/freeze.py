@@ -16,7 +16,7 @@ masking + fsdp sharding).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import jax
 

@@ -24,24 +24,20 @@ DeepSpeed ZeRO-1 with one `jit`-compiled SPMD train step over a
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import logging
 import os
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh
 
-from aigv_assessor_tpu.core.config import AssessorConfig
 from aigv_assessor_tpu.core.mesh import MeshConfig, make_mesh
-from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.models.assessor import AIGVAssessor
 from aigv_assessor_tpu.parallel.sharding import (
     make_param_shardings,
