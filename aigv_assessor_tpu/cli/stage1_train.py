@@ -70,6 +70,12 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE):
 
     global_bs = args.per_device_train_batch_size * n_dp
     accum = args.gradient_accumulation_steps
+    if len(train_ds) < global_bs * accum:
+        logger.warning(
+            "dataset (%d samples) smaller than one global batch (%d x %d "
+            "accum): no training steps will run — shrink the mesh or batch",
+            len(train_ds), global_bs, accum,
+        )
     steps_per_epoch = max(len(train_ds) // (global_bs * accum), 1)
     total_steps = int(steps_per_epoch * args.num_train_epochs)
 
