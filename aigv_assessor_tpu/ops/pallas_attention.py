@@ -236,6 +236,31 @@ def _fwd_kernel(
     qi = pl.program_id(1)
     num_k_blocks = _cdiv(kv_valid, block_k)
 
+    if not causal and num_k_blocks == 1:
+        # single-tile fast path: K/V are ZERO-padded, so the padded columns
+        # score exactly 0 and contribute nothing to p@v (v rows are zero);
+        # their softmax mass is n_pad * exp(-m), subtracted in closed form —
+        # no mask/iota passes at all (the kernel is VPU-softmax-bound: this
+        # removes ~2 of ~7 elementwise passes over the score tile)
+        n_pad = block_k - kv_valid
+        s = lax.dot_general(
+            q * scale, k_ref[0, :, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if n_pad:
+            l = l - n_pad * jnp.exp(-m)
+        pv = lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0] = (pv / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = jnp.where(l <= 0.0, _NEG_INF, m + jnp.log(l_safe))
+        return
+
     if causal:
         last_needed = lax.div((qi + 1) * block_q - 1, block_k) + 1
         upper = jnp.minimum(last_needed, num_k_blocks)
