@@ -299,3 +299,64 @@ def batch_chat(
     )
     responses = tokenizer.batch_decode(out, skip_special_tokens=True)
     return [r.split(template.sep)[0].strip() for r in responses]
+
+
+def stream_chat(
+    model,
+    params,
+    tokenizer,
+    question: str,
+    pixel_values: Optional[np.ndarray] = None,
+    gcfg: Optional[GenerationConfig] = None,
+    history: Optional[List[Tuple[str, str]]] = None,
+    with_motion: bool = False,
+):
+    """Streaming variant of `chat` (reference `stream_chat`,
+    `modeling_internlm2.py:1226-1323`): yields the partial response after
+    every generated token. Steps one decode_step at a time (a host round trip
+    per token — interactive use only; batch paths use the fused while-loop
+    decode)."""
+    from aigv_assessor_tpu.models.internlm2 import KVCache
+
+    template = get_conv_template(model.config.template)
+    gcfg = gcfg or GenerationConfig(
+        eos_token_id=tokenizer.convert_tokens_to_ids(template.sep)
+        or tokenizer.eos_token_id
+    )
+    num_patches_list = (
+        [pixel_values.shape[0]] if pixel_values is not None else []
+    )
+    query = build_query(
+        model.config.template, question, num_patches_list,
+        model.config.num_image_token, history,
+    )
+    ids = jnp.asarray([tokenizer.encode(query)], jnp.int32)
+    s = ids.shape[1]
+    max_len = s + gcfg.max_new_tokens
+
+    if pixel_values is not None:
+        embeds = model.apply(
+            params, ids, jnp.asarray(pixel_values[None]),
+            method="embed_multimodal", with_motion=with_motion,
+        )
+    else:
+        embeds = model.apply(params, ids, method="embed_tokens")
+    cache = KVCache.init(model.config.llm, 1, max_len)
+    logits, _, cache = model.apply(params, embeds, cache, method="prefill")
+    token = int(jnp.argmax(logits[0, -1]))
+    generated = []
+    for i in range(gcfg.max_new_tokens):
+        if token == gcfg.eos_token_id:
+            break
+        generated.append(token)
+        yield tokenizer.decode(generated, skip_special_tokens=True).split(
+            template.sep
+        )[0]
+        logits, _, cache = model.apply(
+            params,
+            jnp.asarray([[token]], jnp.int32),
+            cache,
+            position_ids=jnp.asarray([[s + i]], jnp.int32),
+            method="decode_step",
+        )
+        token = int(jnp.argmax(logits[0, -1]))

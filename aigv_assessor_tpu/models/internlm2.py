@@ -331,3 +331,50 @@ def cross_entropy_loss(
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return nll.sum() / count
+
+
+class InternLM2ForSequenceClassification(nn.Module):
+    """Sequence classification head over the decoder (reference
+    `modeling_internlm2.py:1325+`): pool the hidden state of the LAST
+    non-padding token per sample and project to `num_labels` (untied,
+    bias-free like the reference's `score` Linear)."""
+
+    config: LLMConfig
+    num_labels: int = 2
+    precision: Precision = Precision()
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        backbone = InternLM2ForCausalLM(
+            self.config, self.precision, self.lora, name="model"
+        )
+        _, hidden, _ = backbone(
+            input_ids=input_ids,
+            inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )
+        if attention_mask is not None:
+            last = jnp.sum(attention_mask.astype(jnp.int32), axis=1) - 1
+        else:
+            last = jnp.full((hidden.shape[0],), hidden.shape[1] - 1, jnp.int32)
+        pooled = jnp.take_along_axis(
+            hidden, last[:, None, None], axis=1
+        )[:, 0, :]
+        logits = nn.Dense(
+            self.num_labels,
+            use_bias=False,
+            dtype=self.precision.compute_dtype,
+            param_dtype=jnp.float32,
+            name="score",
+        )(pooled)
+        return logits.astype(jnp.float32)

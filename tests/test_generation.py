@@ -116,3 +116,43 @@ class TestChatAPIs:
             gcfg=GenerationConfig(max_new_tokens=3, eos_token_id=int(tok.eos_token_id)),
         )
         assert len(resps) == 2 and all(isinstance(r, str) for r in resps)
+
+
+class TestStreamChat:
+    def test_stream_yields_growing_response(self, setup):
+        from aigv_assessor_tpu.models.generation import GenerationConfig, stream_chat
+
+        tok, cfg, model, params = setup
+        gcfg = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+        chunks = list(
+            stream_chat(model, params, tok, "rate the video quality", gcfg=gcfg)
+        )
+        assert 1 <= len(chunks) <= 4
+        assert all(isinstance(c, str) for c in chunks)
+
+
+class TestSeqClassification:
+    def test_logits_shape_and_pooling(self):
+        from aigv_assessor_tpu.core.config import LLMConfig
+        from aigv_assessor_tpu.core.precision import Precision
+        from aigv_assessor_tpu.models.internlm2 import (
+            InternLM2ForSequenceClassification,
+        )
+
+        cfg = LLMConfig.tiny()
+        model = InternLM2ForSequenceClassification(cfg, num_labels=3,
+                                                   precision=Precision.fp32())
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10)), jnp.int32)
+        mask = np.ones((2, 10), np.int32)
+        mask[1, 6:] = 0  # second sample ends at position 5
+        params = model.init(jax.random.key(0), ids, attention_mask=jnp.asarray(mask))
+        logits = model.apply(params, ids, attention_mask=jnp.asarray(mask))
+        assert logits.shape == (2, 3)
+        # pooling position matters: changing a token after the last real one
+        # must not change sample 1's logits
+        ids2 = ids.at[1, 8].set((ids[1, 8] + 1) % cfg.vocab_size)
+        logits2 = model.apply(params, ids2, attention_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(
+            np.asarray(logits[1]), np.asarray(logits2[1]), atol=1e-5
+        )
