@@ -15,7 +15,11 @@ from aigv_assessor_tpu.cli import stage1_eval
 
 
 def main(argv=None):
-    return stage1_eval.main(argv, stage=2, mos_scale=0.01)
+    # NOTE: the reference divides mos by 100 only in the stage-2 TRAINING
+    # dataset (`stage2_train.py:613`); the standalone stage-2 eval keeps raw
+    # mos (`stage2_eval.py:373,500` — no /100). Rank correlations are
+    # unaffected either way, but the CSV 'mos' column must match.
+    return stage1_eval.main(argv, stage=2, mos_scale=1.0)
 
 
 if __name__ == "__main__":
