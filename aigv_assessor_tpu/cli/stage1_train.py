@@ -35,7 +35,8 @@ BEST_METRIC = "accuracy"  # stage-1 best-model criterion (stage1_train.py:286)
 MOS_SCALE = 1.0
 
 
-def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE):
+def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE,
+         on_best=None):
     logging.basicConfig(level=logging.INFO)
     init_dist()
     args = parse_args(f"AIGV-Assessor-TPU stage-{stage} training", argv)
@@ -128,6 +129,7 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE):
         eval_fn=eval_fn if eval_ds is not None else None,
         best_metric_key=best_metric,
         checkpoint_manager=ckpt,
+        on_best=on_best(args) if callable(on_best) else None,
     )
     del params
 

@@ -20,10 +20,20 @@ from aigv_assessor_tpu.train.checkpoint import save_lora_weights
 
 
 def main(argv=None):
+    def make_on_best(args):
+        def on_best(params, step):
+            # reference dumps bare LoRA tensors on every new best
+            # (stage2_train.py:223-235, 300-307)
+            save_lora_weights(
+                os.path.join(args.output_dir, "lora_weights.msgpack"), params
+            )
+        return on_best
+
     trainer = stage1_train.main(
-        argv, stage=2, best_metric="SRCC_score", mos_scale=0.01
+        argv, stage=2, best_metric="SRCC_score", mos_scale=0.01,
+        on_best=make_on_best,
     )
-    # final LoRA artifact (reference writes 'lora_weights.pth' on best eval)
+    # final LoRA artifact regardless of eval cadence
     out = os.path.join(trainer.cfg.output_dir, "lora_weights.msgpack")
     save_lora_weights(out, trainer.state.params)
     return trainer

@@ -164,6 +164,7 @@ class Trainer:
         eval_fn: Optional[Callable[[Any, int], Dict[str, float]]] = None,
         best_metric_key: str = "accuracy",
         checkpoint_manager=None,
+        on_best: Optional[Callable[[Any, int], None]] = None,
     ):
         self.model = model
         self.cfg = train_config
@@ -172,6 +173,9 @@ class Trainer:
         self.best_metric_key = best_metric_key
         self.best_metric = float("-inf")
         self.ckpt = checkpoint_manager
+        # called with (params, step) on every new best metric (the reference
+        # dumps bare LoRA tensors here, stage2_train.py:223-235,300-307)
+        self.on_best = on_best
 
         self.trainable_mask = make_trainable_mask(
             params,
@@ -336,6 +340,8 @@ class Trainer:
             self.best_metric = m
             logger.info("new best %s=%.4f; saving", self.best_metric_key, m)
             self.save(step, best=True)
+            if self.on_best is not None:
+                self.on_best(self.state.params, step)
 
     def save(self, step: int, best: bool = False, final: bool = False):
         if self.ckpt is None:
