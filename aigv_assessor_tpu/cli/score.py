@@ -134,7 +134,8 @@ def main(argv=None):
     @jax.jit
     def score_batch(params, input_ids, pixel_values, attention_mask):
         out = model.apply(
-            params, input_ids, pixel_values, attention_mask=attention_mask
+            params, input_ids, pixel_values, attention_mask=attention_mask,
+            with_logits=False,  # score-only: skip the [*, vocab] fp32 head
         )
         return out["score"]
 

@@ -41,6 +41,12 @@ class VisionConfig:
     patch_size: int = 14
     num_channels: int = 3
     hidden_act: str = "gelu"
+    # tanh-approximate GELU in the encoder MLP: the exact erf lowers to a
+    # long VPU polynomial on TPU and costs ~2.3 ms/layer at bs=64/448px
+    # (measured, BENCH_NOTES.md); tanh-GELU matches to ~1e-3 relative and is
+    # fully fused. Set False for bit-closer parity with the reference's
+    # torch nn.GELU (erf).
+    approximate_gelu: bool = True
     norm_type: str = "layer_norm"  # 'layer_norm' | 'rms_norm'
     layer_norm_eps: float = 1e-6
     qkv_bias: bool = True

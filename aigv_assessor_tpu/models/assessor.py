@@ -225,6 +225,7 @@ class AIGVAssessor(nn.Module):
         image_flags: Optional[jnp.ndarray] = None,  # accepted for parity; unused
         position_ids: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        with_logits: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Teacher-forced forward for training and eval.
 
@@ -237,14 +238,20 @@ class AIGVAssessor(nn.Module):
         input_embeds = self.embed_multimodal(
             input_ids, pixel_values, deterministic, with_motion=True
         )
+        # score-only serving (stage-2 scoring, no labels) can skip the
+        # [*, vocab] fp32 LM head — only `hidden` feeds the score read-out
+        with_logits = with_logits or labels is not None
         logits, hidden, _ = self.language_model(
             inputs_embeds=input_embeds,
             attention_mask=attention_mask,
             position_ids=position_ids,
             deterministic=deterministic,
+            with_logits=with_logits,
         )
 
-        out: Dict[str, jnp.ndarray] = {"logits": logits, "hidden": hidden}
+        out: Dict[str, jnp.ndarray] = {"hidden": hidden}
+        if with_logits:
+            out["logits"] = logits
         ce = None
         if labels is not None:
             ce = cross_entropy_loss(logits, labels)

@@ -278,6 +278,7 @@ class Phi3ForCausalLM(nn.Module):
         kv_mask=None,
         deterministic: bool = True,
         rope_len: Optional[int] = None,
+        with_logits: bool = True,
     ):
         cfg = self.config
         if inputs_embeds is None:
@@ -305,7 +306,11 @@ class Phi3ForCausalLM(nn.Module):
                 new_k.append(layer_cache[0])
                 new_v.append(layer_cache[1])
         hidden = self.norm(x)
-        logits = self.lm_head(hidden).astype(self.precision.logits_dtype)
+        logits = (
+            self.lm_head(hidden).astype(self.precision.logits_dtype)
+            if with_logits
+            else None
+        )
         new_cache = None
         if cache is not None:
             new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)

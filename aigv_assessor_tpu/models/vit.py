@@ -179,7 +179,7 @@ class InternMLP(nn.Module):
             lora=self.lora,
             name="fc1",
         )(x, deterministic)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=cfg.approximate_gelu)
         return LoRADense(
             cfg.hidden_size,
             use_bias=True,

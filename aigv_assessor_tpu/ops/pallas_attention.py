@@ -7,18 +7,34 @@ decoder path). Standard online-softmax tiling:
 
 - arrays are laid out [B*H, S, D] (heads folded into the leading grid dim) so
   every BlockSpec's trailing two dims are (seq_tile, D) — seq_tile a multiple
-  of 8 and D equal to the full array dim, satisfying Mosaic's tiling rules;
+  of 8 and D equal to the full array dim, satisfying Mosaic's tiling rules.
+  The [B,S,H,D] <-> [B*H,S,D] relayout costs ~1.6 ms ISOLATED between two
+  pallas calls on the ViT shape, but in model context XLA fuses the
+  transposes into the adjacent qkv/out projection matmuls (measured: proj +
+  transposes run at the same TFLOP/s as proj alone — BENCH_NOTES.md).
+  Native-layout kernels were tried and LOSE: lane-sliced per-head loads from
+  a [B,S,H*D] block run at 38 TFLOP/s vs 57 for this layout, and dynamic
+  head indexing on the sublane dim does not lower ("index in dimension 2
+  must be a multiple of 8");
 - grid (B*Hq, num_q_blocks); each program owns one q tile in VMEM and streams
   K/V tiles of its kv head. GQA maps q row bh -> kv row
   (bh // Hq) * Hkv + (bh % Hq) // G inside the BlockSpec index map, so
   repeated K/V heads are never materialized in HBM;
+- softmax runs in base-2: scale*log2(e) is folded into the (small) q tile, so
+  the [BQ, BK] score tile takes no scaling pass and `exp2` (the VPU's native
+  transcendental) replaces `exp`. The saved logsumexp is converted back to
+  natural-log units for the backward kernels;
 - running (row-max m, row-sum l, accumulator acc) carried through
   `lax.fori_loop`; softmax math in fp32 on the VPU, the two matmuls per tile
-  (q·kT, p·v) on the MXU with fp32 accumulation;
-- causal masking trims the kv loop to blocks at-or-below the diagonal; tail
-  keys beyond the true (pre-padding) length are masked against a static
+  (q·kT, p·v) on the MXU with fp32 accumulation. KV blocks strictly below the
+  causal diagonal and inside the true length run a mask-free body (no iota /
+  compare / select passes); only the diagonal and tail blocks pay for masking;
+- tail keys beyond the true (pre-padding) length are masked against a static
   `kv_valid` bound — replacing cu_seqlens/varlen packing (the pipeline pads
   to static lengths anyway, `dataset.py:637`);
+- the inference path compiles a kernel WITHOUT the logsumexp output (it is
+  only needed for the backward pass); the custom-VJP fwd rule uses the
+  lse-producing variant. lse is stored lane-major as [B*H, S];
 - backward is the standard two-kernel scheme (dq; dk/dv) from the saved
   logsumexp and delta = rowsum(dout * out); dk/dv are produced per *query*
   head and group-summed outside (G = 4 for InternLM2's 32q/8kv).
@@ -42,6 +58,8 @@ DEFAULT_BLOCK_K = 512
 # (measured on v5e: 13.9 -> 29.1 TFLOP/s on the ViT's 1025-token shape)
 _FULL_TILE_MAX = 2048
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -78,208 +96,70 @@ def supported(q, k, v, mask) -> bool:
 # ---------------------------------------------------------------- forward ---
 
 
-def _fwd_kernel_bshd(
-    q_ref,  # [1, BQ, Hq, D]
-    k_ref,  # [1, Skv, Hkv, D]
-    v_ref,
-    o_ref,  # [1, Hq, BQ, D] (head-major: leading-dim store avoids an
-            # unsupported strided-store reshape in Mosaic)
-    lse_ref,  # [1, Hq, BQ]
-    q_scr,  # VMEM [BQ, D]
-    k_scr,  # VMEM [Skv_pad, D]
-    v_scr,  # VMEM [Skv_pad, D]
-    lse_scratch,  # VMEM [Hq, BQ]
-    *,
-    scale,
-    causal,
-    kv_valid,
-    block_k,
-    hq,
-    hkv,
-):
-    """Native-layout forward: heads looped inside the kernel, so the caller
-    needs NO HBM transposes around the pallas boundary (XLA cannot fuse
-    through a pallas_call; the [B,S,H,D]->[B*H,S,D] relayout cost ~40% of the
-    attention wall-clock on the ViT shape).
-
-    MXU operands must be contiguous: per-head slices of the [.., H, D] block
-    are staged through VMEM scratch first (a strided slice feeding
-    dot_general crashes the Mosaic backend; plain VPU copies are fine)."""
-    block_q = q_ref.shape[1]
-    qi = pl.program_id(1)
-    g = hq // hkv
-    num_k_blocks = _cdiv(kv_valid, block_k)
-    if causal:
-        last_needed = lax.div((qi + 1) * block_q - 1, block_k) + 1
-        upper = jnp.minimum(last_needed, num_k_blocks)
-    else:
-        upper = num_k_blocks
-
-    row_ids = qi * block_q + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-
-    for h in range(hq):  # static unroll over heads
-        q_scr[...] = q_ref[0, :, h, :] * scale  # contiguous staging
-        kvh = h // g
-        if h % g == 0:  # new kv head: restage K/V once per group
-            k_scr[...] = k_ref[0, :, kvh, :]
-            v_scr[...] = v_ref[0, :, kvh, :]
-        q = q_scr[...]
-
-        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((block_q, 1), jnp.float32)
-        acc0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
-
-        def body(j, carry, q=q):
-            m, l, acc = carry
-            k_blk = k_scr[pl.ds(j * block_k, block_k), :]
-            v_blk = v_scr[pl.ds(j * block_k, block_k), :]
-            s = lax.dot_general(
-                q, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            col_ids = j * block_k + lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            valid = col_ids < kv_valid
-            if causal:
-                valid = valid & (col_ids <= row_ids)
-            s = jnp.where(valid, s, _NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
-            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
-            pv = lax.dot_general(
-                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc * corr + pv
-
-        m, l, acc = lax.fori_loop(0, upper, body, (m0, l0, acc0))
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, h, :, :] = (acc / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(l_safe))
-        lse_scratch[h, :] = lse[:, 0]
-    lse_ref[0] = lse_scratch[...]
-
-
-def _fwd_bshd(
-    q: jnp.ndarray,  # [B, Sq, Hq, D]
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    *,
-    causal: bool,
-    scale: float,
-    block_q: int,
-    block_k: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    b, sq_orig, hq, d = q.shape
-    _, skv_orig, hkv, _ = k.shape
-
-    q2 = _pad_dim(q, 1, block_q)
-    k2 = _pad_dim(k, 1, block_k)
-    v2 = _pad_dim(v, 1, block_k)
-    sq, skv = q2.shape[1], k2.shape[1]
-    nq = sq // block_q
-
-    q_spec = pl.BlockSpec(
-        (1, block_q, hq, d), lambda bi, qi: (bi, qi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    kv_spec = pl.BlockSpec(
-        (1, skv, hkv, d), lambda bi, qi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    lse_spec = pl.BlockSpec(
-        (1, hq, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM
-    )
-    o_spec = pl.BlockSpec(
-        (1, hq, block_q, d), lambda bi, qi: (bi, 0, qi, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel_bshd,
-            scale=scale,
-            causal=causal,
-            kv_valid=skv_orig,
-            block_k=block_k,
-            hq=hq,
-            hkv=hkv,
-        ),
-        grid=(b, nq),
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=[o_spec, lse_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), q.dtype),  # q staging
-            pltpu.VMEM((skv, d), k.dtype),  # k staging
-            pltpu.VMEM((skv, d), v.dtype),  # v staging
-            pltpu.VMEM((hq, block_q), jnp.float32),  # lse rows
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * hq * sq * skv * d,
-            bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * hq * sq * skv,
-        ),
-    )(q2, k2, v2)
-    out = out.transpose(0, 2, 1, 3)  # head-major -> [B, Sq, Hq, D]
-    return out[:, :sq_orig], lse
-
-
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal, kv_valid, block_k, hp
+    q_ref, k_ref, v_ref, o_ref, *rest,
+    scale, causal, kv_valid, block_k, hp, with_lse,
 ):
     """hp = heads per program (leading block dim): interleaving 2 heads lets
     the scheduler overlap one head's VPU softmax with the other's MXU matmuls
     (measured 6.6 -> 5.8 ms on the ViT shape; >2 crashes the backend)."""
+    lse_ref = rest[0] if with_lse else None
     qi = pl.program_id(1)
     num_k_blocks = _cdiv(kv_valid, block_k)
+    c = scale * _LOG2E  # base-2 softmax: scale folded into q (see module doc)
 
     for hh in range(hp):
-        q = q_ref[hh]  # [BQ, D]
-        block_q = q.shape[0]
+        q = q_ref[hh] * c  # [BQ, D]
+        block_q, d = q.shape
 
         if not causal and num_k_blocks == 1:
             # single-tile fast path: K/V are ZERO-padded, so the padded
             # columns score exactly 0 and contribute nothing to p@v (v rows
-            # are zero); their softmax mass is n_pad * exp(-m), subtracted in
-            # closed form — no mask/iota passes at all
+            # are zero); their softmax mass is n_pad * exp2(-m), subtracted
+            # in closed form — no mask/iota passes at all
             n_pad = block_k - kv_valid
             s = lax.dot_general(
-                q * scale, k_ref[hh], (((1,), (1,)), ((), ())),
+                q, k_ref[hh], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            if n_pad:
-                l = l - n_pad * jnp.exp(-m)
+            pf = jnp.exp2(s - m)
+            l = jnp.sum(pf, axis=1, keepdims=True)
             pv = lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[hh], (((1,), (0,)), ((), ())),
+                pf.astype(v_ref.dtype), v_ref[hh], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            l_safe = jnp.where(l <= 0.0, 1.0, l)
-            o_ref[hh] = (pv / l_safe).astype(o_ref.dtype)
-            lse_ref[hh] = jnp.where(l <= 0.0, _NEG_INF, m + jnp.log(l_safe))
+            if n_pad:
+                l = l - n_pad * jnp.exp2(-m)
+            r = 1.0 / jnp.where(l <= 0.0, 1.0, l)
+            o_ref[hh] = (pv * r).astype(o_ref.dtype)
+            if with_lse:
+                lse = jnp.where(l <= 0.0, _NEG_INF, m * _LN2 - jnp.log(r))
+                lse_ref[0, hh] = lse[:, 0]
             continue
 
         if causal:
             last_needed = lax.div((qi + 1) * block_q - 1, block_k) + 1
             upper = jnp.minimum(last_needed, num_k_blocks)
+            # blocks strictly below the causal diagonal AND inside kv_valid
+            # need no mask at all: (j+1)*block_k <= qi*block_q + 1 keeps
+            # every column <= every row of this q tile
+            full_upper = jnp.minimum(
+                lax.div(qi * block_q + 1, block_k), kv_valid // block_k
+            )
         else:
             upper = num_k_blocks
+            full_upper = kv_valid // block_k  # static
 
         m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_q, 1), jnp.float32)
-        acc0 = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
 
         row_ids = qi * block_q + lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
         )
 
-        def body(j, carry, q=q, hh=hh):
+        def body(j, carry, *, masked, q=q, hh=hh):
             m, l, acc = carry
             k_blk = k_ref[hh, pl.ds(j * block_k, block_k), :]  # [BK, D]
             v_blk = v_ref[hh, pl.ds(j * block_k, block_k), :]
@@ -287,19 +167,18 @@ def _fwd_kernel(
                 q, k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s * scale
-
-            col_ids = j * block_k + lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            valid = col_ids < kv_valid
-            if causal:
-                valid = valid & (col_ids <= row_ids)
-            s = jnp.where(valid, s, _NEG_INF)
+            if masked:
+                col_ids = j * block_k + lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                valid = col_ids < kv_valid
+                if causal:
+                    valid = valid & (col_ids <= row_ids)
+                s = jnp.where(valid, s, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
+            p = jnp.exp2(s - m_new)
+            corr = jnp.exp2(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
             pv = lax.dot_general(
                 p.astype(v_blk.dtype),
@@ -309,12 +188,18 @@ def _fwd_kernel(
             )
             return m_new, l_new, acc * corr + pv
 
-        m, l, acc = lax.fori_loop(0, upper, body, (m0, l0, acc0))
+        carry = lax.fori_loop(
+            0, full_upper, functools.partial(body, masked=False), (m0, l0, acc0)
+        )
+        m, l, acc = lax.fori_loop(
+            full_upper, upper, functools.partial(body, masked=True), carry
+        )
 
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[hh] = (acc / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(l_safe))
-        lse_ref[hh] = lse  # [BQ, 1]
+        r = 1.0 / jnp.where(l == 0.0, 1.0, l)
+        o_ref[hh] = (acc * r).astype(o_ref.dtype)
+        if with_lse:
+            lse = jnp.where(l == 0.0, _NEG_INF, m * _LN2 - jnp.log(r))
+            lse_ref[0, hh] = lse[:, 0]  # lane-major [BQ]
 
 
 def _to_bhsd(x: jnp.ndarray) -> jnp.ndarray:
@@ -343,7 +228,8 @@ def _fwd(
     scale: float,
     block_q: int,
     block_k: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_lse: bool,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     b, sq_orig, hq, d = q.shape
     _, skv_orig, hkv, _ = k.shape
 
@@ -366,11 +252,24 @@ def _fwd(
         lambda bh, qi: (_kv_index(bh, hq, hkv) if hp == 1 else bh, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    lse_spec = pl.BlockSpec(
-        (hp, block_q, 1), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
-    )
+    out_specs = [q_spec]
+    out_shape = [jax.ShapeDtypeStruct((b * hq, sq, d), q.dtype)]
+    if with_lse:
+        # lane-major lse, shaped [B*Hq/hp, hp, Sq] so the trailing block dims
+        # (hp, block_q) equal/divide the array dims per Mosaic tiling rules;
+        # reshaped to [B*Hq, Sq] after the call (contiguous, free)
+        out_specs.append(
+            pl.BlockSpec(
+                (1, hp, block_q),
+                lambda bh, qi: (bh, 0, qi),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * hq // hp, hp, sq), jnp.float32)
+        )
 
-    out, lse = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _fwd_kernel,
             scale=scale,
@@ -378,20 +277,20 @@ def _fwd(
             kv_valid=skv_orig,
             block_k=block_k,
             hp=hp,
+            with_lse=with_lse,
         ),
         grid=((b * hq) // hp, nq),
         in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=[q_spec, lse_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * hq, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * hq, sq, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * skv * d,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=b * hq * sq * skv,
         ),
     )(q2, k2, v2)
+    out = outs[0]
+    lse = outs[1].reshape(b * hq, sq) if with_lse else None
     return _from_bhsd(out, b, hq)[:, :sq_orig], lse
 
 
@@ -402,34 +301,41 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, scale, causal, kv_valid, block_k,
 ):
-    q = q_ref[0]
+    """Zero-padded kv columns need NO masking here: k rows are zero, so their
+    ds@k contribution to dq is exactly zero whatever p is. Only the causal
+    diagonal band is masked."""
+    c = scale * _LOG2E
+    q = q_ref[0] * c
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # [BQ, 1]
-    delta = delta_ref[0]
+    # stats stored lane-major [BQ]: relayout to column vectors (cheap, BQ elts)
+    lse2 = lse_ref[0][:, None] * _LOG2E  # base-2 lse
+    delta = delta_ref[0][:, None]
     block_q = q.shape[0]
     qi = pl.program_id(1)
     num_k_blocks = _cdiv(kv_valid, block_k)
     if causal:
         last_needed = lax.div((qi + 1) * block_q - 1, block_k) + 1
         upper = jnp.minimum(last_needed, num_k_blocks)
+        # blocks strictly below the diagonal: every col <= every row
+        full_upper = jnp.minimum(lax.div(qi * block_q + 1, block_k), upper)
     else:
         upper = num_k_blocks
+        full_upper = num_k_blocks
 
     row_ids = qi * block_q + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
-    def body(j, dq):
+    def body(j, dq, *, masked):
         k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        col_ids = j * block_k + lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
         )
-        valid = col_ids < kv_valid
-        if causal:
-            valid = valid & (col_ids <= row_ids)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        p = jnp.exp2(s - lse2)
+        if masked:
+            col_ids = j * block_k + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            p = jnp.where(col_ids <= row_ids, p, 0.0)
         dp = lax.dot_general(
             do, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -441,7 +347,14 @@ def _bwd_dq_kernel(
         )
         return dq + dq_inc
 
-    dq = lax.fori_loop(0, upper, body, jnp.zeros((block_q, q.shape[1]), jnp.float32))
+    dq = lax.fori_loop(
+        0, full_upper, functools.partial(body, masked=False),
+        jnp.zeros((block_q, q.shape[1]), jnp.float32),
+    )
+    if causal:
+        dq = lax.fori_loop(
+            full_upper, upper, functools.partial(body, masked=True), dq
+        )
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -449,32 +362,34 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     *, scale, causal, kv_valid, block_q, sq_valid,
 ):
+    """Padding needs NO masking here: padded q rows have do=0 and delta=0, so
+    both their dv (p^T@do) and dk (ds@q with ds = p*(do·v - delta)) vanish,
+    and garbage dk/dv rows at padded kv positions are sliced away by the
+    caller. Only the causal diagonal band is masked."""
+    c = scale * _LOG2E
     k_blk = k_ref[0]  # [BK, D]
     v_blk = v_ref[0]
     block_k = k_blk.shape[0]
     ki = pl.program_id(1)
     num_q_blocks = _cdiv(sq_valid, block_q)
 
-    first_needed = lax.div(ki * block_k, block_q) if causal else 0
-
     col_ids = ki * block_k + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
-    def body(qi, carry):
+    def body(qi, carry, *, masked):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :] * c
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * block_q, block_q), :]  # [BQ, 1]
-        delta = delta_ref[0, pl.ds(qi * block_q, block_q), :]
+        lse2 = lse_ref[0, pl.ds(qi * block_q, block_q)][:, None] * _LOG2E
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q)][:, None]
         s = lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        row_ids = qi * block_q + lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
         )
-        valid = col_ids < kv_valid
-        if causal:
-            valid = valid & (col_ids <= row_ids)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        p = jnp.exp2(s - lse2)
+        if masked:
+            row_ids = qi * block_q + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            p = jnp.where(col_ids <= row_ids, p, 0.0)
         dv_inc = lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -493,21 +408,41 @@ def _bwd_dkv_kernel(
     d = k_blk.shape[1]
     dk0 = jnp.zeros((block_k, d), jnp.float32)
     dv0 = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = lax.fori_loop(first_needed, num_q_blocks, body, (dk0, dv0))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    if causal:
+        first_needed = lax.div(ki * block_k, block_q)
+        # first q block fully below the diagonal wrt this kv block:
+        # qi*block_q >= (ki+1)*block_k - 1
+        first_full = jnp.minimum(
+            lax.div((ki + 1) * block_k - 2 + block_q, block_q), num_q_blocks
+        )
+        carry = lax.fori_loop(
+            first_needed, first_full, functools.partial(body, masked=True),
+            (dk0, dv0),
+        )
+        dk, dv = lax.fori_loop(
+            first_full, num_q_blocks, functools.partial(body, masked=False),
+            carry,
+        )
+    else:
+        dk, dv = lax.fori_loop(
+            0, num_q_blocks, functools.partial(body, masked=False), (dk0, dv0)
+        )
+    # q was staged as q*c with c = scale*log2e for the exp2 softmax; dk wants
+    # plain scale*q in ds@q, so divide the fold back out
+    dk_ref[0] = (dk * (1.0 / _LOG2E)).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd(causal, scale, block_q, block_k, residuals, dout):
-    q, k, v, out, lse = residuals
+    q, k, v, out, lse = residuals  # lse: [B*Hq, Sq_pad] natural-log units
     b, sq_orig, hq, d = q.shape
     _, skv_orig, hkv, _ = k.shape
     g = hq // hkv
 
     delta = jnp.sum(
-        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
-    )  # [B, Sq, Hq, 1]
-    delta = _to_bhsd(delta)  # [B*Hq, Sq, 1]
+        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B, Sq, Hq]
+    delta = delta.transpose(0, 2, 1).reshape(b * hq, sq_orig)
 
     q2 = _pad_dim(_to_bhsd(q), 1, block_q)
     k2 = _pad_dim(_to_bhsd(k), 1, block_k)
@@ -535,10 +470,10 @@ def _bwd(causal, scale, block_q, block_k, residuals, dout):
         memory_space=pltpu.VMEM,
     )
     stat_blk = pl.BlockSpec(
-        (1, block_q, 1), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
+        (1, block_q), lambda bh, i: (bh, i), memory_space=pltpu.VMEM
     )
     stat_full = pl.BlockSpec(
-        (1, sq, 1), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
+        (1, sq), lambda bh, i: (bh, 0), memory_space=pltpu.VMEM
     )
     outblk_q = pl.BlockSpec(
         (1, block_k, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
@@ -587,57 +522,22 @@ def _bwd(causal, scale, block_q, block_k, residuals, dout):
 
 # ------------------------------------------------------------------ entry ---
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of the ~16MB/core
-
-# Gated off: the staged bshd kernel now lowers, but the 16-way python head
-# unroll keeps every head's fp32 score tile live on the VMEM stack (24.9MB >
-# the v5e's 16MB) at useful tile sizes. Next iteration: fori_loop over heads
-# with leading-dim (head-major) refs so temporaries are reused.
-_ENABLE_BSHD = False
-
-
-def _bshd_fits(q, k, block_q: int, block_k: int) -> bool:
-    """Whether the native-layout kernel's working set fits VMEM (q tile +
-    full-length K/V for all kv heads + contiguous staging scratch + fp32
-    score tile)."""
-    if not _ENABLE_BSHD:
-        return False
-    b, sq, hq, d = q.shape
-    _, skv, hkv, _ = k.shape
-    skv_pad = _cdiv(skv, block_k) * block_k
-    bq = min(block_q, _cdiv(sq, 8) * 8)
-    itemsize = q.dtype.itemsize
-    q_tile = bq * hq * d * itemsize
-    kv_full = 2 * skv_pad * hkv * d * itemsize
-    out_tile = bq * hq * d * itemsize
-    staging = (bq + 2 * skv_pad) * d * itemsize
-    s_scratch = bq * block_k * 4
-    return (
-        2 * q_tile + kv_full + 2 * out_tile + staging + s_scratch
-    ) < _VMEM_BUDGET
-
-
-def _run_fwd(q, k, v, causal, scale, block_q, block_k):
-    """Returns (out, lse [B*Hq, Sq_pad, 1]) using the native-layout kernel
-    when it fits VMEM, else the transposed-layout kernel."""
-    b, _, hq, _ = q.shape
-    if _bshd_fits(q, k, block_q, block_k):
-        out, lse = _fwd_bshd(
-            q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k
-        )
-        lse = lse.reshape(b * hq, -1)[:, :, None]
-        return out, lse
-    return _fwd(q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k)
-
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, causal, scale, block_q, block_k):
-    out, _ = _run_fwd(q, k, v, causal, scale, block_q, block_k)
+    # primal (inference) path: no logsumexp output at all
+    out, _ = _fwd(
+        q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+        with_lse=False,
+    )
     return out
 
 
 def _flash_fwd(q, k, v, causal, scale, block_q, block_k):
-    out, lse = _run_fwd(q, k, v, causal, scale, block_q, block_k)
+    out, lse = _fwd(
+        q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+        with_lse=True,
+    )
     return out, (q, k, v, out, lse)
 
 

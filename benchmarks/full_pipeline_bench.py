@@ -72,7 +72,9 @@ def main():
 
     @jax.jit
     def probe(params, ids, px, mask):
-        out = model.apply(params, ids, px, attention_mask=mask)
+        out = model.apply(
+            params, ids, px, attention_mask=mask, with_logits=False
+        )
         return jnp.sum(out["score"].astype(jnp.float32))
 
     s = float(probe(params, ids, px, mask))
