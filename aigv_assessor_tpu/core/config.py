@@ -57,6 +57,9 @@ class VisionConfig:
     initializer_factor: float = 1.0
     initializer_range: float = 0.02
     use_flash_attn: bool = True
+    # scan-over-layers (see LLMConfig.scan_layers); the python-loop path is
+    # kept for select_layer != -1 (partial-depth feature extraction)
+    scan_layers: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -121,6 +124,12 @@ class LLMConfig:
     eos_token_id: int = 2
     pad_token_id: int = 2
     initializer_range: float = 0.02
+    # scan-over-layers: stack the decoder layers' params with a leading
+    # [num_layers] dim and run them under `nn.scan`, so XLA traces/compiles
+    # ONE layer instead of 32 (a 2B forward otherwise takes minutes to
+    # compile through the tunnel). Param trees use `layers` (stacked) instead
+    # of `layers_{i}`; `utils/stacking.py` converts between the two.
+    scan_layers: bool = True
 
     @property
     def head_dim(self) -> int:

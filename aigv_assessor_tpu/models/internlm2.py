@@ -49,18 +49,27 @@ class RMSNorm(nn.Module):
 
 @dataclass
 class KVCache:
-    """Fixed-capacity per-layer KV cache (pytree)."""
+    """Fixed-capacity KV cache (pytree), stacked over layers.
 
-    k: Any  # list of [B, max_len, Hkv, d]
+    k/v are single [L, B, max_len, Hkv, d] arrays: the layer dim scans
+    cleanly under `nn.scan` and indexes as `cache.k[i]` in the loop path."""
+
+    k: Any  # [L, B, max_len, Hkv, d]
     v: Any
     index: jnp.ndarray  # scalar int32: number of valid positions
 
     @classmethod
     def init(cls, config: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (batch, max_len, config.num_key_value_heads, config.head_dim)
+        shape = (
+            config.num_hidden_layers,
+            batch,
+            max_len,
+            config.num_key_value_heads,
+            config.head_dim,
+        )
         return cls(
-            k=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
-            v=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
             index=jnp.zeros((), jnp.int32),
         )
 
@@ -238,14 +247,41 @@ class InternLM2ForCausalLM(nn.Module):
             name="tok_embeddings",
         )
         layer_cls = (
-            nn.remat(InternLM2DecoderLayer, static_argnums=(10,))
+            # prevent_cse=False: safe under scan/loop and lets XLA fold the
+            # recompute into the backward schedule
+            nn.remat(
+                InternLM2DecoderLayer, static_argnums=(10,), prevent_cse=False
+            )
             if self.remat
             else InternLM2DecoderLayer
         )
-        self.layers = [
-            layer_cls(cfg, self.precision, self.lora, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+        if cfg.scan_layers:
+            # one traced layer, params stacked [L, ...]: compile time is
+            # O(1) in depth instead of O(L) (SURVEY §7; 2B forward compile
+            # took minutes with the unrolled loop)
+            self.layers = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(
+                    nn.broadcast,  # cos
+                    nn.broadcast,  # sin
+                    nn.broadcast,  # position_ids
+                    nn.broadcast,  # attention_mask
+                    0,  # cache_k [L, ...]
+                    0,  # cache_v
+                    nn.broadcast,  # cache_index
+                    nn.broadcast,  # kv_mask
+                    nn.broadcast,  # deterministic
+                ),
+                out_axes=0,
+                length=cfg.num_hidden_layers,
+            )(cfg, self.precision, self.lora, name="layers")
+        else:
+            self.layers = [
+                layer_cls(cfg, self.precision, self.lora, name=f"layers_{i}")
+                for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")
         self.output = nn.Dense(
             cfg.vocab_size,
@@ -294,18 +330,36 @@ class InternLM2ForCausalLM(nn.Module):
         )
 
         x = inputs_embeds.astype(self.precision.compute_dtype)
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            ck = cache.k[i] if cache is not None else None
-            cv = cache.v[i] if cache is not None else None
-            ci = cache.index if cache is not None else None
-            x, layer_cache = layer(
-                x, cos, sin, position_ids, attention_mask, ck, cv, ci, kv_mask,
+        ci = cache.index if cache is not None else None
+        if self.config.scan_layers:
+            x, stacked_cache = self.layers(
+                x,
+                cos,
+                sin,
+                position_ids,
+                attention_mask,
+                cache.k if cache is not None else None,
+                cache.v if cache is not None else None,
+                ci,
+                kv_mask,
                 deterministic,
             )
-            if layer_cache is not None:
-                new_k.append(layer_cache[0])
-                new_v.append(layer_cache[1])
+            new_k, new_v = stacked_cache if stacked_cache is not None else (None, None)
+        else:
+            new_k, new_v = [], []
+            for i, layer in enumerate(self.layers):
+                ck = cache.k[i] if cache is not None else None
+                cv = cache.v[i] if cache is not None else None
+                x, layer_cache = layer(
+                    x, cos, sin, position_ids, attention_mask, ck, cv, ci,
+                    kv_mask, deterministic,
+                )
+                if layer_cache is not None:
+                    new_k.append(layer_cache[0])
+                    new_v.append(layer_cache[1])
+            if cache is not None:
+                new_k = jnp.stack(new_k)
+                new_v = jnp.stack(new_v)
 
         hidden = self.norm(x)
         # score-only serving skips the [*, vocab] fp32 head entirely: at 2B

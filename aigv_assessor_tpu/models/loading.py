@@ -45,7 +45,36 @@ def load_model_and_tokenizer(
         from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_tree
 
         params = dequantize_tree(params)
+    params = adapt_layer_format(params, config)
     return config, model, params, tokenizer
+
+
+def adapt_layer_format(params, config: AssessorConfig):
+    """Convert between unrolled `layers_{i}` checkpoints (torch-converted)
+    and stacked `layers` trees (scan_layers) to match the model config,
+    per tower."""
+    from aigv_assessor_tpu.utils.stacking import (
+        has_stacked_layers,
+        has_unrolled_layers,
+        stack_layer_params,
+        unstack_layer_params,
+    )
+
+    def adapt(subtree, want_stacked: bool):
+        if want_stacked and has_unrolled_layers(subtree):
+            return stack_layer_params(subtree)
+        if not want_stacked and has_stacked_layers(subtree):
+            return unstack_layer_params(subtree)
+        return subtree
+
+    inner = params.get("params", params) if isinstance(params, dict) else params
+    for name, want in (
+        ("vision_model", config.vision.scan_layers),
+        ("language_model", config.llm.scan_layers),
+    ):
+        if isinstance(inner, dict) and name in inner:
+            inner[name] = adapt(inner[name], want)
+    return params
 
 
 def _has_int8(params) -> bool:

@@ -313,5 +313,7 @@ class Phi3ForCausalLM(nn.Module):
         )
         new_cache = None
         if cache is not None:
-            new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
+            new_cache = KVCache(
+                k=jnp.stack(new_k), v=jnp.stack(new_v), index=cache.index + s
+            )
         return logits, hidden, new_cache

@@ -62,17 +62,17 @@ def make_norm(norm_type: str, dim: int, eps: float, name: str):
 
 
 def drop_path(
-    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+    x: jnp.ndarray, rate, rng: Optional[jax.Array]
 ) -> jnp.ndarray:
     """Stochastic depth (timm DropPath used at reference
     `modeling_intern_vit.py:213-214`): drop the whole residual branch
-    per-sample."""
-    if deterministic or rate == 0.0:
+    per-sample. `rate` may be a traced scalar (it is scanned over layers)."""
+    if rng is None:
         return x
-    keep = 1.0 - rate
+    keep = 1.0 - jnp.asarray(rate, jnp.float32)
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    return jnp.where(mask, x / keep.astype(x.dtype), 0.0).astype(x.dtype)
 
 
 class InternVisionEmbeddings(nn.Module):
@@ -192,11 +192,15 @@ class InternMLP(nn.Module):
 class InternVisionEncoderLayer(nn.Module):
     config: VisionConfig
     precision: Precision
-    drop_path_rate: float = 0.0
     lora: Optional[LoRAConfig] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        drop_path_rate,  # python float (loop path) or traced scalar (scanned)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
         cfg = self.config
         ls1 = self.param(
             "ls1",
@@ -210,27 +214,23 @@ class InternVisionEncoderLayer(nn.Module):
             (cfg.hidden_size,),
             jnp.float32,
         )
-        rng = None
-        if not deterministic and self.drop_path_rate > 0.0:
-            rng = self.make_rng("dropout")
+        # static gate on the config's max rate; per-layer rate is traced
+        use_dp = not deterministic and cfg.drop_path_rate > 0.0
+        rng = self.make_rng("dropout") if use_dp else None
         attn_out = InternAttention(cfg, self.precision, self.lora, name="attn")(
             make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm1")(x),
             deterministic,
         )
         x = x + drop_path(
-            attn_out * ls1.astype(attn_out.dtype), self.drop_path_rate,
-            deterministic, rng,
+            attn_out * ls1.astype(attn_out.dtype), drop_path_rate, rng
         )
-        rng2 = None
-        if not deterministic and self.drop_path_rate > 0.0:
-            rng2 = self.make_rng("dropout")
+        rng2 = self.make_rng("dropout") if use_dp else None
         mlp_out = InternMLP(cfg, self.precision, self.lora, name="mlp")(
             make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm2")(x),
             deterministic,
         )
         x = x + drop_path(
-            mlp_out * ls2.astype(mlp_out.dtype), self.drop_path_rate,
-            deterministic, rng2,
+            mlp_out * ls2.astype(mlp_out.dtype), drop_path_rate, rng2
         )
         return x
 
@@ -269,18 +269,47 @@ class InternVisionModel(nn.Module):
         else:
             n_run = n_layers
         layer_cls = (
-            nn.remat(InternVisionEncoderLayer, static_argnums=(2,))
+            nn.remat(
+                InternVisionEncoderLayer, static_argnums=(3,), prevent_cse=False
+            )
             if self.remat
             else InternVisionEncoderLayer
         )
-        for i in range(n_run):
-            rate = (
-                cfg.drop_path_rate * i / max(n_layers - 1, 1)
-                if n_layers > 1
-                else cfg.drop_path_rate
+        if n_layers > 1:
+            rates = [
+                cfg.drop_path_rate * i / (n_layers - 1) for i in range(n_layers)
+            ]
+        else:
+            rates = [cfg.drop_path_rate]
+        if cfg.scan_layers:
+            # function-target scan: the layer returns a bare hidden state, so
+            # wrap it into the (carry, out) contract; deterministic closes
+            # over statically. Partial depth (select_layer != -1) still scans
+            # the full parameter stack — param layout must not depend on call
+            # args — masking the skipped tail layers to identity.
+            partial_depth = n_run < n_layers
+
+            def body(layer, carry, xs):
+                rate, active = xs
+                out = layer(carry, rate, deterministic)
+                if partial_depth:
+                    out = jnp.where(active, out, carry)
+                return out, None
+
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0,  # (drop_path_rate[L], active[L])
+                out_axes=0,
+                length=n_layers,
             )
+            layer = layer_cls(cfg, self.precision, lora=self.lora, name="layers")
+            active = jnp.arange(n_layers) < n_run
+            x, _ = scanned(layer, x, (jnp.asarray(rates, jnp.float32), active))
+            return x
+        for i in range(n_run):
             x = layer_cls(
-                cfg, self.precision, drop_path_rate=rate, lora=self.lora,
-                name=f"layers_{i}",
-            )(x, deterministic)
+                cfg, self.precision, lora=self.lora, name=f"layers_{i}"
+            )(x, rates[i], deterministic)
         return x

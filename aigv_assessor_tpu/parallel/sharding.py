@@ -80,14 +80,21 @@ def _guard(spec: PartitionSpec, shape: Tuple[int, ...], mesh: Mesh) -> Partition
 
 
 def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> PartitionSpec:
+    # scan-over-layers params live under `.../layers/...` with a leading
+    # [num_layers] dim: apply the per-layer rule to the trailing dims
+    stacked = re.search(r"/layers/", path) is not None
     for pattern, spec in _RULES:
         if re.search(pattern, path):
+            if stacked:
+                spec = PartitionSpec(None, *spec)
             return _guard(spec, shape, mesh)
     # default: FSDP-shard the largest divisible dim of >=2D params
-    if len(shape) >= 2:
+    # (excluding the stacked layer dim)
+    first = 1 if stacked else 0
+    if len(shape) - first >= 2:
         fsdp = mesh.shape.get(FSDP_AXIS, 1)
         if fsdp > 1:
-            order = sorted(range(len(shape)), key=lambda i: -shape[i])
+            order = sorted(range(first, len(shape)), key=lambda i: -shape[i])
             for dim in order:
                 if shape[dim] % fsdp == 0 and shape[dim] >= fsdp:
                     spec = [None] * len(shape)

@@ -235,7 +235,12 @@ def convert(sd: Dict[str, np.ndarray], config: AssessorConfig) -> dict:
 
     if unmapped:
         print(f"WARNING: {len(unmapped)} unmapped keys, e.g. {unmapped[:8]}")
-    return {"params": params}
+    tree = {"params": params}
+    # scan-over-layers models expect the per-layer subtrees stacked under
+    # one `layers` node (leading [num_layers] dim)
+    from aigv_assessor_tpu.models.loading import adapt_layer_format
+
+    return adapt_layer_format(tree, config)
 
 
 # pytorchvideo slowfast_r50 module-name mapping -------------------------------

@@ -67,6 +67,26 @@ def layer_decay_multipliers(
 
     def one(path, leaf):
         p = "/".join(str(getattr(k, "key", k)) for k in path)
+        # scan-over-layers: params under `.../layers/...` are stacked with a
+        # leading [num_layers] dim -> a per-layer multiplier VECTOR broadcast
+        # over that dim reproduces the unrolled per-group LRs exactly
+        if re.search(r"/layers/", p) or p.startswith("layers/"):
+            if "vision_model" in p:
+                n = num_vit_layers + 2
+                vec = vit_decay_rate ** (
+                    n - 1 - (jax.numpy.arange(num_vit_layers) + 1)
+                )
+            elif "language_model" in p:
+                n = num_llm_layers + 2
+                vec = llm_lr_scale * llm_decay_rate ** (
+                    n - 1 - (jax.numpy.arange(num_llm_layers) + 1)
+                )
+            else:
+                return 1.0
+            return vec.reshape((-1,) + (1,) * (leaf.ndim - 1)).astype(
+                leaf.dtype if jax.numpy.issubdtype(leaf.dtype, jax.numpy.floating)
+                else jax.numpy.float32
+            )
         group, layer_id, n = _layer_id_from_path(p, num_vit_layers, num_llm_layers)
         if group == "vit":
             return vit_decay_rate ** (n - 1 - layer_id)

@@ -172,8 +172,8 @@ class TestOverfit:
         after = jax.device_get(trainer.state.params)
         # LLM weights frozen
         np.testing.assert_array_equal(
-            before["params"]["language_model"]["layers_0"]["attention"]["wqkv"]["base"]["kernel"],
-            after["params"]["language_model"]["layers_0"]["attention"]["wqkv"]["base"]["kernel"],
+            before["params"]["language_model"]["layers"]["attention"]["wqkv"]["base"]["kernel"],
+            after["params"]["language_model"]["layers"]["attention"]["wqkv"]["base"]["kernel"],
         )
         # mlp1 updated
         assert not np.allclose(
