@@ -14,6 +14,8 @@ import logging
 import os
 import sys
 
+import jax
+
 from aigv_assessor_tpu.cli.args import parse_args
 from aigv_assessor_tpu.cli.common import build_model_and_tokenizer, mesh_from_args
 from aigv_assessor_tpu.core.dist import init_dist
@@ -149,11 +151,14 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE,
             )
         else:
             sampler = None
+        # per-host sharded loading: each host reads only its contiguous
+        # shard of the global super-batch; shard_batch(process_local=...)
+        # assembles the global arrays (SURVEY §2b TPU plan)
         bs = ShardedBatchSampler(
             sampler if sampler is not None else len(train_ds),
             global_batch_size=global_bs * accum,
-            num_processes=1,
-            process_index=0,
+            num_processes=jax.process_count(),
+            process_index=jax.process_index(),
             seed=args.seed,
         )
         bs.set_epoch(epoch)

@@ -119,6 +119,10 @@ class LLMConfig:
     rope_theta: float = 1_000_000.0
     rope_scaling: Optional[RopeScaling] = RopeScaling()
     bias: bool = False
+    # per-projection overrides (None -> follow `bias`): Qwen2 uses biased
+    # q/k/v with bias-free o_proj; Llama exposes `attention_bias`
+    qkv_bias: Optional[bool] = None
+    o_bias: Optional[bool] = None
     tie_word_embeddings: bool = False
     bos_token_id: int = 1
     eos_token_id: int = 2
@@ -144,12 +148,32 @@ class LLMConfig:
         d = dict(d)
         if "architectures" in d and d.get("architectures"):
             d["architecture"] = d["architectures"][0]
+        arch = d.get("architecture", "")
+        # HF Llama/Qwen2 configs map onto the same GQA+SwiGLU decoder
+        # (reference dispatches all four families,
+        # `configuration_internvl_chat.py:56-63`)
+        if arch == "LlamaForCausalLM":
+            d.setdefault("qkv_bias", bool(d.pop("attention_bias", False)))
+            d.setdefault("o_bias", d["qkv_bias"])
+        elif arch == "Qwen2ForCausalLM":
+            d.setdefault("qkv_bias", True)
+            d.setdefault("o_bias", False)
         rs = d.get("rope_scaling")
         if isinstance(rs, dict):
             d["rope_scaling"] = RopeScaling(
                 type=rs.get("type", "dynamic"), factor=float(rs.get("factor", 1.0))
             )
+        elif rs is None and arch in ("LlamaForCausalLM", "Qwen2ForCausalLM"):
+            d["rope_scaling"] = None
         return cls(**_filter_kwargs(cls, d))
+
+    @property
+    def effective_qkv_bias(self) -> bool:
+        return self.bias if self.qkv_bias is None else self.qkv_bias
+
+    @property
+    def effective_o_bias(self) -> bool:
+        return self.bias if self.o_bias is None else self.o_bias
 
     @classmethod
     def tiny(cls) -> "LLMConfig":
@@ -279,14 +303,23 @@ class AssessorConfig:
         if "llm_config" in d:
             llm_d = d.pop("llm_config")
             archs = llm_d.get("architectures") or [llm_d.get("architecture", "")]
-            # dispatch like the reference composite config
-            # (`configuration_internvl_chat.py:56-63`)
-            if archs and archs[0] == "Phi3ForCausalLM":
+            arch = archs[0] if archs else ""
+            # 4-way dispatch like the reference composite config
+            # (`configuration_internvl_chat.py:56-63`): InternLM2/Llama/Qwen2
+            # share the GQA+SwiGLU decoder (LLMConfig), Phi-3 its own
+            if arch == "Phi3ForCausalLM":
                 from aigv_assessor_tpu.models.phi3 import Phi3Config
 
                 d["llm"] = Phi3Config.from_dict(llm_d)
-            else:
+            elif arch in (
+                "",
+                "InternLM2ForCausalLM",
+                "LlamaForCausalLM",
+                "Qwen2ForCausalLM",
+            ):
                 d["llm"] = LLMConfig.from_dict(llm_d)
+            else:
+                raise ValueError(f"Unsupported architecture: {arch}")
         return cls(**_filter_kwargs(cls, d))
 
     @classmethod

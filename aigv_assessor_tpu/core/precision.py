@@ -22,6 +22,12 @@ class Precision:
     norm_dtype: jnp.dtype = jnp.float32  # norm statistics
     logits_dtype: jnp.dtype = jnp.float32
     accum_dtype: jnp.dtype = jnp.float32  # matmul accumulation
+    # W8A16 serving: LLM dense kernels stored as per-channel-symmetric int8
+    # (tools/convert_to_int8.py format) and dequantized in-kernel right
+    # before the MXU — halves weight streaming, the binding constraint of
+    # autoregressive decode. Replaces the reference's bitsandbytes
+    # load_in_8bit path (`internvl/model/__init__.py:32-44`).
+    int8_weights: bool = False
 
     def cast_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)
@@ -29,6 +35,11 @@ class Precision:
     @classmethod
     def bf16(cls) -> "Precision":
         return cls()
+
+    @classmethod
+    def int8(cls) -> "Precision":
+        """bf16 activations over int8 LLM weights (serving)."""
+        return cls(int8_weights=True)
 
     @classmethod
     def fp32(cls) -> "Precision":

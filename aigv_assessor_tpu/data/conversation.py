@@ -25,11 +25,35 @@ class Conversation:
     system_message: str = ""
     roles: Tuple[str, str] = ("USER", "ASSISTANT")
     sep: str = "\n"
+    # second separator for two-separator styles (reference `sep2`, used by
+    # ADD_COLON_TWO and INTERNVL_ZH templates, `conversation.py:71-79,229-236`)
+    sep2: Optional[str] = None
+    sep_style: str = "mpt"  # 'mpt' | 'add_colon_two' | 'internvl_zh'
     stop_token_ids: Optional[List[int]] = None
     messages: List[Tuple[str, Optional[str]]] = dataclasses.field(default_factory=list)
 
     def get_prompt(self) -> str:
         system = self.system_template.format(system_message=self.system_message)
+        if self.sep_style == "add_colon_two":
+            # reference `conversation.py:71-79`
+            seps = [self.sep, self.sep2]
+            ret = system + seps[0]
+            for i, (role, message) in enumerate(self.messages):
+                if message is not None:
+                    ret += role + ": " + message + seps[i % 2]
+                else:
+                    ret += role + ":"
+            return ret
+        if self.sep_style == "internvl_zh":
+            # reference `conversation.py:229-236` (seps swapped vs colon_two)
+            seps = [self.sep2, self.sep]
+            ret = self.system_message + seps[0]
+            for i, (role, message) in enumerate(self.messages):
+                if message is not None:
+                    ret += role + ": " + message + seps[i % 2]
+                else:
+                    ret += role + ":"
+            return ret
         ret = system + self.sep
         for role, message in self.messages:
             if message is not None:
@@ -48,6 +72,8 @@ class Conversation:
             system_message=self.system_message,
             roles=self.roles,
             sep=self.sep,
+            sep2=self.sep2,
+            sep_style=self.sep_style,
             stop_token_ids=(
                 list(self.stop_token_ids) if self.stop_token_ids else None
             ),
@@ -96,6 +122,21 @@ register_conv_template(
         roles=("<|user|>\n", "<|assistant|>\n"),
         sep="<|end|>",
         stop_token_ids=[2, 32000, 32007],
+    )
+)
+
+# `internvl_zh` (reference `conversation.py:334-343`): the 4th registered
+# template; any entry script run with it falls through to the plain
+# `preprocess` masker (`stage1_train.py:465-466`).
+register_conv_template(
+    Conversation(
+        name="internvl_zh",
+        system_template="",
+        system_message="",
+        roles=("<human>", "<bot>"),
+        sep="</s>",
+        sep2=" ",
+        sep_style="internvl_zh",
     )
 )
 

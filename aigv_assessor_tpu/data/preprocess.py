@@ -262,6 +262,83 @@ def preprocess_phi3(*args, **kw) -> List[PreprocessedSample]:
     )
 
 
+def preprocess_plain(
+    template_name: str,
+    sources: Sequence[Sequence[Dict[str, str]]],
+    tokenizer: AIGVTokenizer,
+    num_image_token_list: Sequence[int],
+    text_only: bool = False,
+    group_by_length: bool = False,
+    ds_name: str = None,
+) -> List[PreprocessedSample]:
+    """The reference's generic (fastchat/vicuna-style) masker
+    (`/root/reference/internvl/train/dataset.py:287-389`), selected for any
+    template other than internlm2-chat/Hermes-2/phi3-chat
+    (`stage1_train.py:465-466`) — in the shipped registry that is
+    `internvl_zh`. Turns split at `conv.sep2`; instruction prefix is
+    `sep + roles[1] + ': '`; llama-tokenizer offsets (-2, and -1 per turn in
+    non-legacy mode) reproduced exactly."""
+    conv = get_conv_template(template_name)
+    conversations = [render_conversation(template_name, s) for s in sources]
+    if not text_only:
+        conversations = [
+            expand_image_tokens(c, num_image_token_list) for c in conversations
+        ]
+
+    max_len = tokenizer.model_max_length
+    pad_id = tokenizer.pad_token_id
+    sep = conv.sep + conv.roles[1] + ": "
+    legacy = bool(getattr(tokenizer, "legacy", True))
+    results = []
+    for conversation in conversations:
+        ids = tokenizer.encode(conversation, add_bos=True)
+        if len(ids) > max_len:
+            ids = ids[:max_len]
+        real_len = len(ids)
+        if not group_by_length:
+            ids = ids + [pad_id] * (max_len - len(ids))
+        input_ids = np.asarray(ids, np.int32)
+        target = input_ids.copy()
+
+        turns = conversation.split(conv.sep2)
+        cur_len = 1
+        target[:cur_len] = IGNORE_TOKEN_ID
+        mismatch = False
+        for i, turn in enumerate(turns):
+            if turn == "":
+                break
+            turn_len = len(tokenizer.encode(turn, add_bos=True))
+            parts = turn.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            # "-2" is the reference's hardcoded llama-tokenizer offset
+            instruction_len = len(tokenizer.encode(parts[0], add_bos=True)) - 2
+            if i != 0 and not legacy:
+                instruction_len -= 1
+            target[cur_len : cur_len + instruction_len] = IGNORE_TOKEN_ID
+            cur_len += turn_len
+            if i != 0 and not legacy:
+                cur_len -= 1
+        target[cur_len:] = IGNORE_TOKEN_ID
+
+        if cur_len < max_len and cur_len != real_len:
+            target[:] = IGNORE_TOKEN_ID
+            mismatch = True
+
+        attention_mask = np.zeros(input_ids.shape, bool)
+        attention_mask[:real_len] = True
+        results.append(
+            PreprocessedSample(
+                input_ids=input_ids,
+                labels=target.astype(np.int32),
+                attention_mask=attention_mask,
+                mismatch=mismatch,
+            )
+        )
+    return results
+
+
 PREPROCESSORS = {
     "internlm2-chat": preprocess_internlm,
     "Hermes-2": preprocess_mpt,
@@ -270,10 +347,18 @@ PREPROCESSORS = {
 
 
 def get_preprocess_function(template_name: str):
-    """Reference `get_preprocess_function` (`stage1_train.py:458-467`)."""
+    """Reference `get_preprocess_function` (`stage1_train.py:458-467`):
+    3 named maskers, every other registered template falls through to the
+    plain `preprocess` (here `preprocess_plain`)."""
     try:
         return PREPROCESSORS[template_name]
     except KeyError:
+        # match the reference's else-branch; unknown template names still
+        # fail loudly at get_conv_template
+        from aigv_assessor_tpu.data.conversation import _TEMPLATES
+
+        if template_name in _TEMPLATES:
+            return preprocess_plain
         raise NotImplementedError(
             f"no preprocessor for template {template_name!r}"
         ) from None

@@ -28,6 +28,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from aigv_assessor_tpu.core.config import LLMConfig, LoRAConfig
 from aigv_assessor_tpu.core.precision import Precision
@@ -104,9 +105,10 @@ class InternLM2Attention(nn.Module):
 
         qkv = LoRADense(
             (hq + 2 * hkv) * d,
-            use_bias=cfg.bias,
+            use_bias=cfg.effective_qkv_bias,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            int8=self.precision.int8_weights,
             name="wqkv",
         )(x, deterministic)
         q = qkv[..., : hq * d].reshape(b, s, hq, d)
@@ -117,30 +119,63 @@ class InternLM2Attention(nn.Module):
 
         new_cache = None
         if cache_k is not None:
-            # write the new keys/values at [cache_index, cache_index + s)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
-            )
-            new_cache = (cache_k, cache_v)
-            max_len = cache_k.shape[1]
-            kv_slot = jnp.arange(max_len)
-            # slot-based causality (slots are fill-ordered; RoPE positions may
-            # differ from slots under left padding): key slot j is visible to
-            # current query row i iff j <= cache_index + i
-            q_row = jnp.arange(s)
-            valid = kv_slot[None, None, :] <= (cache_index + q_row)[None, :, None]
-            valid = jnp.broadcast_to(valid, (b, s, max_len))
+            # Two-part softmax over (read-only old cache) + (current block):
+            # the cache is never copied here — the CALLER writes the returned
+            # new k/v rows at [cache_index, cache_index + s). The previous
+            # formulation updated and re-emitted the full [B, max_len, Hkv, d]
+            # slice per layer, costing ~400 MB of pure HBM copy per decode
+            # token at 2B scale (measured; see BENCH_NOTES.md).
+            new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+            g = hq // hkv
+            scale = d**-0.5
+            qg = q.reshape(b, s, hkv, g, d)
+            neg = jnp.float32(-1e30)
+
+            lo = jnp.einsum(
+                "bqhgd,bkhd->bhgqk", qg, cache_k,
+                preferred_element_type=jnp.float32,
+            ) * scale  # [B, Hkv, G, s, max_len]
+            slots = jnp.arange(cache_k.shape[1])
+            # slots are fill-ordered: everything before cache_index is past
+            valid_old = (slots[None, :] < cache_index)
             if kv_mask is not None:
                 # left-padded prompts: padded cache slots are never attended
                 # (replaces the reference FA2 unpad path,
                 # modeling_internlm2.py:556-573)
-                valid = valid & kv_mask[:, None, :]
-            out = multi_head_attention(
-                q, cache_k, cache_v, causal=False, mask=valid, impl="xla"
+                valid_old = valid_old & kv_mask
+            else:
+                valid_old = jnp.broadcast_to(valid_old, (b, slots.shape[0]))
+            lo = jnp.where(valid_old[:, None, None, None, :], lo, neg)
+
+            ln = jnp.einsum(
+                "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+            ) * scale  # [B, Hkv, G, s, s]
+            rows = jnp.arange(s)
+            valid_new = (rows[None, :] <= rows[:, None])[None]  # causal
+            if kv_mask is not None:
+                # left-padded prefill: pad columns inside the current block
+                # (slots [cache_index, cache_index+s)) are masked too
+                blk = lax.dynamic_slice_in_dim(kv_mask, cache_index, s, axis=1)
+                valid_new = valid_new & blk[:, None, :]
+            ln = jnp.where(valid_new[:, None, None], ln, neg)
+
+            m = jnp.maximum(
+                jnp.max(lo, axis=-1, keepdims=True),
+                jnp.max(ln, axis=-1, keepdims=True),
             )
+            po = jnp.exp(lo - m)
+            pn = jnp.exp(ln - m)
+            denom = po.sum(-1, keepdims=True) + pn.sum(-1, keepdims=True)
+            po = (po / denom).astype(cache_v.dtype)
+            pn = (pn / denom).astype(v.dtype)
+            ctx = jnp.einsum(
+                "bhgqk,bkhd->bqhgd", po, cache_v,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bhgqk,bkhd->bqhgd", pn, v,
+                preferred_element_type=jnp.float32,
+            )
+            out = ctx.reshape(b, s, hq, d).astype(x.dtype)
         else:
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
@@ -155,9 +190,10 @@ class InternLM2Attention(nn.Module):
         out = out.reshape(b, s, hq * d)
         out = LoRADense(
             c,
-            use_bias=cfg.bias,
+            use_bias=cfg.effective_o_bias,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            int8=self.precision.int8_weights,
             name="wo",
         )(out, deterministic)
         return out, new_cache
@@ -173,15 +209,18 @@ class InternLM2MLP(nn.Module):
         cfg = self.config
         w1 = LoRADense(
             cfg.intermediate_size, dtype=self.precision.compute_dtype,
-            lora=self.lora, name="w1",
+            lora=self.lora, int8=self.precision.int8_weights,
+            name="w1",
         )(x, deterministic)
         w3 = LoRADense(
             cfg.intermediate_size, dtype=self.precision.compute_dtype,
-            lora=self.lora, name="w3",
+            lora=self.lora, int8=self.precision.int8_weights,
+            name="w3",
         )(x, deterministic)
         return LoRADense(
             cfg.hidden_size, dtype=self.precision.compute_dtype,
-            lora=self.lora, name="w2",
+            lora=self.lora, int8=self.precision.int8_weights,
+            name="w2",
         )(nn.silu(w1) * w3, deterministic)
 
 
@@ -258,38 +297,37 @@ class InternLM2ForCausalLM(nn.Module):
         if cfg.scan_layers:
             # one traced layer, params stacked [L, ...]: compile time is
             # O(1) in depth instead of O(L) (SURVEY §7; 2B forward compile
-            # took minutes with the unrolled loop)
-            self.layers = nn.scan(
-                layer_cls,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                in_axes=(
-                    nn.broadcast,  # cos
-                    nn.broadcast,  # sin
-                    nn.broadcast,  # position_ids
-                    nn.broadcast,  # attention_mask
-                    0,  # cache_k [L, ...]
-                    0,  # cache_v
-                    nn.broadcast,  # cache_index
-                    nn.broadcast,  # kv_mask
-                    nn.broadcast,  # deterministic
-                ),
-                out_axes=0,
-                length=cfg.num_hidden_layers,
-            )(cfg, self.precision, self.lora, name="layers")
+            # took minutes with the unrolled loop). The scan transform is
+            # applied at call time (function-target) so the KV cache can ride
+            # the scan CARRY — carries alias in place, scanned outputs do not
+            self.layers = layer_cls(cfg, self.precision, self.lora, name="layers")
         else:
             self.layers = [
                 layer_cls(cfg, self.precision, self.lora, name=f"layers_{i}")
                 for i in range(cfg.num_hidden_layers)
             ]
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")
-        self.output = nn.Dense(
-            cfg.vocab_size,
-            use_bias=False,
-            dtype=self.precision.compute_dtype,
-            param_dtype=jnp.float32,
-            name="output",
-        )
+        # tied embeddings (Qwen2-0.5B/1.5B style): reuse the embedding matrix
+        # via Embed.attend instead of a separate head
+        if cfg.tie_word_embeddings:
+            self.output = None
+        elif self.precision.int8_weights:
+            from aigv_assessor_tpu.models.lora import Int8Dense
+
+            self.output = Int8Dense(
+                cfg.vocab_size,
+                use_bias=False,
+                dtype=self.precision.compute_dtype,
+                name="output",
+            )
+        else:
+            self.output = nn.Dense(
+                cfg.vocab_size,
+                use_bias=False,
+                dtype=self.precision.compute_dtype,
+                param_dtype=jnp.float32,
+                name="output",
+            )
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.tok_embeddings(input_ids)
@@ -331,44 +369,85 @@ class InternLM2ForCausalLM(nn.Module):
 
         x = inputs_embeds.astype(self.precision.compute_dtype)
         ci = cache.index if cache is not None else None
-        if self.config.scan_layers:
-            x, stacked_cache = self.layers(
-                x,
-                cos,
-                sin,
-                position_ids,
-                attention_mask,
-                cache.k if cache is not None else None,
-                cache.v if cache is not None else None,
-                ci,
-                kv_mask,
-                deterministic,
+        cfg = self.config
+        if cfg.scan_layers:
+            scan_kw = dict(
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0,
+                out_axes=0,
+                length=cfg.num_hidden_layers,
             )
-            new_k, new_v = stacked_cache if stacked_cache is not None else (None, None)
+            if cache is None:
+                def body(layer, carry, i):
+                    y, _ = layer(
+                        carry, cos, sin, position_ids, attention_mask,
+                        None, None, None, kv_mask, deterministic,
+                    )
+                    return y, None
+
+                x, _ = nn.scan(body, **scan_kw)(
+                    self.layers, x, jnp.arange(cfg.num_hidden_layers)
+                )
+                new_k = new_v = None
+            else:
+                # cache rides the carry: scan carries alias in place, and the
+                # layer returns only its NEW k/v rows, written back here at
+                # [i, :, cache_index, ...] — per token the cache costs one
+                # read of the attended slots plus an s-row write, not a
+                # full-slice copy
+                def body(layer, carry, i):
+                    y, ck_all, cv_all = carry
+                    ck = lax.dynamic_index_in_dim(ck_all, i, 0, keepdims=False)
+                    cv = lax.dynamic_index_in_dim(cv_all, i, 0, keepdims=False)
+                    y, new = layer(
+                        y, cos, sin, position_ids, attention_mask,
+                        ck, cv, ci, kv_mask, deterministic,
+                    )
+                    kn, vn = new
+                    ck_all = lax.dynamic_update_slice(
+                        ck_all, kn[None], (i, 0, ci, 0, 0)
+                    )
+                    cv_all = lax.dynamic_update_slice(
+                        cv_all, vn[None], (i, 0, ci, 0, 0)
+                    )
+                    return (y, ck_all, cv_all), None
+
+                (x, new_k, new_v), _ = nn.scan(body, **scan_kw)(
+                    self.layers,
+                    (x, cache.k, cache.v),
+                    jnp.arange(cfg.num_hidden_layers),
+                )
         else:
-            new_k, new_v = [], []
+            new_k = cache.k if cache is not None else None
+            new_v = cache.v if cache is not None else None
             for i, layer in enumerate(self.layers):
-                ck = cache.k[i] if cache is not None else None
-                cv = cache.v[i] if cache is not None else None
+                ck = new_k[i] if cache is not None else None
+                cv = new_v[i] if cache is not None else None
                 x, layer_cache = layer(
                     x, cos, sin, position_ids, attention_mask, ck, cv, ci,
                     kv_mask, deterministic,
                 )
                 if layer_cache is not None:
-                    new_k.append(layer_cache[0])
-                    new_v.append(layer_cache[1])
-            if cache is not None:
-                new_k = jnp.stack(new_k)
-                new_v = jnp.stack(new_v)
+                    kn, vn = layer_cache
+                    new_k = lax.dynamic_update_slice(
+                        new_k, kn[None].astype(new_k.dtype), (i, 0, ci, 0, 0)
+                    )
+                    new_v = lax.dynamic_update_slice(
+                        new_v, vn[None].astype(new_v.dtype), (i, 0, ci, 0, 0)
+                    )
 
         hidden = self.norm(x)
         # score-only serving skips the [*, vocab] fp32 head entirely: at 2B
         # scale it is ~3.2 TFLOP + a 3.1 GB fp32 HBM write per bs=4 batch
-        logits = (
-            self.output(hidden).astype(self.precision.logits_dtype)
-            if with_logits
-            else None
-        )
+        if not with_logits:
+            logits = None
+        elif self.output is None:  # tied embeddings
+            logits = self.tok_embeddings.attend(
+                hidden.astype(self.precision.compute_dtype)
+            ).astype(self.precision.logits_dtype)
+        else:
+            logits = self.output(hidden).astype(self.precision.logits_dtype)
 
         new_cache = None
         if cache is not None:

@@ -34,17 +34,31 @@ def load_model_and_tokenizer(
     config = config.replace(stage=stage)
     tokenizer = AIGVTokenizer.from_pretrained(path)
     config = config.replace(img_context_token_id=int(tokenizer.img_context_token_id))
-    model = AIGVAssessor(config, precision or Precision())
 
     params_path = os.path.join(path, "params.msgpack")
     from flax import serialization
 
     with open(params_path, "rb") as f:
         params = serialization.msgpack_restore(f.read())
-    if int8 or _has_int8(params):
+
+    import dataclasses
+
+    precision = precision or Precision()
+    if int8:
+        # W8A16 serving: keep (or create) int8 LLM kernels and run the
+        # int8 matmul path — the TPU-native load_in_8bit
+        # (`/root/reference/internvl/model/__init__.py:32-44`)
+        from aigv_assessor_tpu.tools.convert_to_int8 import quantize_tree
+
+        if not _has_int8(params):
+            params = quantize_tree(params)
+        precision = dataclasses.replace(precision, int8_weights=True)
+    elif _has_int8(params):
         from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_tree
 
         params = dequantize_tree(params)
+
+    model = AIGVAssessor(config, precision)
     params = adapt_layer_format(params, config)
     return config, model, params, tokenizer
 

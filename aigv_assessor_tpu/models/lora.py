@@ -25,21 +25,62 @@ import jax.numpy as jnp
 from aigv_assessor_tpu.core.config import LoRAConfig  # noqa: F401  (re-export)
 
 
+class Int8Dense(nn.Module):
+    """Dense over per-channel-symmetric int8 weights (W8A16 serving).
+
+    Param names match tools/convert_to_int8.py's export (`kernel_int8` +
+    `kernel_scale` replacing `kernel`), so an int8 checkpoint loads directly.
+    Replaces the reference's bitsandbytes `load_in_8bit` path
+    (`/root/reference/internvl/model/__init__.py:32-44`)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from aigv_assessor_tpu.ops.int8_matmul import int8_dense_apply
+
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel_int8", nn.initializers.zeros, (in_dim, self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        y = int8_dense_apply(x.astype(self.dtype), kernel, scale,
+                             out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class LoRADense(nn.Module):
     features: int
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
     lora: Optional[LoRAConfig] = None
+    int8: bool = False  # W8A16 serving base (Int8Dense)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.Dense(
-            self.features,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="base",
-        )(x)
+        if self.int8:
+            y = Int8Dense(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                name="base",
+            )(x)
+        else:
+            y = nn.Dense(
+                self.features,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="base",
+            )(x)
         if self.lora is not None and self.lora.r > 0:
             r = self.lora.r
             in_dim = x.shape[-1]

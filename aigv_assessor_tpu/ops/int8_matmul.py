@@ -64,35 +64,42 @@ def int8_matmul(
     assert k == k2 and scale.shape == (n,)
 
     bm = min(block_m, max(8, _cdiv(m, 8) * 8))
-    bn = min(block_n, n)
+    bn = min(block_n, _cdiv(n, 128) * 128)
     bk = min(block_k, k)
-    assert n % bn == 0, (n, bn)
-    assert k % bk == 0, (k, bk)
 
     m_pad = _cdiv(m, bm) * bm
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
-    scale2 = scale.reshape(1, n).astype(jnp.float32)
+    # pad n (e.g. vocab 92553) and k to block multiples; zero weight columns
+    # produce zero outputs that are sliced away
+    n_pad = _cdiv(n, bn) * bn
+    k_pad = _cdiv(k, bk) * bk
+    if n_pad != n or k_pad != k:
+        w_int8 = jnp.pad(w_int8, ((0, k_pad - k), (0, n_pad - n)))
+        scale = jnp.pad(scale, (0, n_pad - n), constant_values=1.0)
+    if k_pad != k:
+        x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
+    scale2 = scale.reshape(1, n_pad).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, block_k=bk, k_total=k),
-        grid=(m_pad // bm, n // bn),
+        functools.partial(_kernel, block_k=bk, k_total=k_pad),
+        grid=(m_pad // bm, n_pad // bn),
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n * k,
-            bytes_accessed=x.size * x.dtype.itemsize + w_int8.size + n * 4,
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=x.size * x.dtype.itemsize + w_int8.size + n_pad * 4,
             transcendentals=0,
         ),
     )(x, w_int8, scale2)
-    return out[:m]
+    return out[:m, :n]
 
 
 def quantize_weight(w: jnp.ndarray):
@@ -102,3 +109,33 @@ def quantize_weight(w: jnp.ndarray):
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return q, scale[0].astype(jnp.float32)
+
+
+def _on_tpu() -> bool:
+    try:
+        if jax.default_backend() == "tpu":
+            return True
+        return "tpu" in getattr(jax.devices()[0], "device_kind", "").lower()
+    except Exception:  # pragma: no cover
+        return False
+
+
+def int8_dense_apply(
+    x: jnp.ndarray,  # [..., K] activations (bf16/f32)
+    kernel_int8: jnp.ndarray,  # [K, N]
+    scale: jnp.ndarray,  # [N] f32
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Dense forward over int8 weights with arbitrary leading dims:
+    pallas kernel on TPU, dequantized XLA matmul elsewhere. W8A16: the int8
+    bytes halve HBM weight streaming; activations stay bf16."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = kernel_int8.shape[1]
+    x2 = x.reshape(-1, k)
+    if _on_tpu():
+        y = int8_matmul(x2, kernel_int8, scale, out_dtype=out_dtype)
+    else:
+        w = kernel_int8.astype(jnp.float32) * scale[None, :]
+        y = (x2.astype(jnp.float32) @ w).astype(out_dtype)
+    return y.reshape(lead + (n,))

@@ -122,16 +122,40 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard array leaves' leading (batch) dim over (data, fsdp)."""
+def shard_batch(
+    batch: Any,
+    mesh: Mesh,
+    *,
+    batch_dim: int = 0,
+    process_local: bool = None,
+) -> Any:
+    """Shard array leaves' batch dim over (data, fsdp).
+
+    batch_dim: which dim is the per-step batch (1 for the trainer's
+    [accum, micro_bs, ...] microbatched layout — the accum dim is scanned
+    sequentially and must stay unsharded).
+
+    process_local: each host holds only ITS shard of the global batch
+    (per-host sharded data loading, SURVEY §2b; the loaders cut per-process
+    index shards via ShardedBatchSampler). Global arrays are assembled with
+    `jax.make_array_from_process_local_data`, so no host ever materializes
+    the full global batch. Defaults to True when jax runs multi-process.
+    """
+    if process_local is None:
+        process_local = jax.process_count() > 1
+    procs = jax.process_count() if process_local else 1
+    n = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
 
     def one(leaf):
         arr = np.asarray(leaf)
         spec = [None] * arr.ndim
-        if arr.ndim >= 1:
-            n = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
-            if arr.shape[0] % n == 0:
-                spec[0] = (DATA_AXIS, FSDP_AXIS)
-        return jax.device_put(arr, NamedSharding(mesh, PartitionSpec(*spec)))
+        if arr.ndim > batch_dim:
+            global_rows = arr.shape[batch_dim] * procs
+            if global_rows % n == 0 and global_rows >= n:
+                spec[batch_dim] = (DATA_AXIS, FSDP_AXIS)
+        sharding = NamedSharding(mesh, PartitionSpec(*spec))
+        if process_local:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     return jax.tree_util.tree_map(one, batch)

@@ -17,25 +17,36 @@ from flax import serialization, traverse_util
 
 
 def quantize_kernel(w: np.ndarray):
-    """[in, out] -> int8 values + per-out-channel scale."""
-    absmax = np.abs(w).max(axis=0, keepdims=True)
+    """[in, out] (or stacked [L, in, out], scan-over-layers) -> int8 values
+    + per-out-channel scale ([out] or [L, out])."""
+    absmax = np.abs(w).max(axis=-2, keepdims=True)
     scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-    return q, scale[0]
+    return q, np.squeeze(scale, axis=-2)
 
 
 def dequantize_kernel(q: np.ndarray, scale: np.ndarray, dtype=np.float32):
-    return (q.astype(np.float32) * scale[None, :]).astype(dtype)
+    return (q.astype(np.float32) * scale[..., None, :]).astype(dtype)
 
 
-def quantize_tree(params: dict, min_size: int = 4096) -> dict:
+def quantize_tree(
+    params: dict, min_size: int = 4096, scope: str = "language_model"
+) -> dict:
+    """Quantize Dense kernels under `scope` (default: the LLM only — the
+    W8A16 serving path runs int8 matmuls in the decoder; the ViT stays bf16
+    where its batched encode is MXU-compute-bound, not weight-bound).
+    scope='' quantizes every eligible kernel."""
     flat = traverse_util.flatten_dict(params)
     out = {}
     n_q = 0
     for key, v in flat.items():
         name = str(key[-1])
         v = np.asarray(v)
-        if name == "kernel" and v.ndim == 2 and v.size >= min_size:
+        in_scope = not scope or any(str(k) == scope for k in key)
+        # LoRA adapters stay float (they are the trainable deltas); ndim 3 =
+        # scan-over-layers stacked kernels [L, in, out]
+        is_base_kernel = name == "kernel" and v.ndim in (2, 3)
+        if in_scope and is_base_kernel and v.size >= min_size:
             q, scale = quantize_kernel(v)
             out[key[:-1] + ("kernel_int8",)] = q
             out[key[:-1] + ("kernel_scale",)] = scale

@@ -80,8 +80,47 @@ def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
     node[path[-1]] = value
 
 
+def normalize_hf_llama_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename HF Llama/Qwen2 decoder keys to the internlm2-style names this
+    converter maps (reference dispatches all four LLM families,
+    `configuration_internvl_chat.py:56-63`). q/k/v projections are fused into
+    a single wqkv in the [q | k | v] row order — which IS this framework's
+    de-interleaved layout, so the result is marked `wqkv_plain` to skip the
+    InternLM2 de-interleave."""
+    if not any(".self_attn.q_proj." in k for k in sd):
+        return sd
+    out: Dict[str, np.ndarray] = {}
+    qkv: Dict[str, Dict[str, np.ndarray]] = {}
+    renames = (
+        (".self_attn.o_proj.", ".attention.wo."),
+        (".mlp.gate_proj.", ".feed_forward.w1."),
+        (".mlp.up_proj.", ".feed_forward.w3."),
+        (".mlp.down_proj.", ".feed_forward.w2."),
+        (".input_layernorm.", ".attention_norm."),
+        (".post_attention_layernorm.", ".ffn_norm."),
+    )
+    for key, v in sd.items():
+        m = re.match(r"(.*)\.self_attn\.([qkv])_proj\.(weight|bias)$", key)
+        if m:
+            slot = qkv.setdefault(f"{m.group(1)}|{m.group(3)}", {})
+            slot[m.group(2)] = v
+            continue
+        k = key
+        k = k.replace("embed_tokens.weight", "tok_embeddings.weight")
+        k = re.sub(r"(^|\.)lm_head\.weight$", r"\1output.weight", k)
+        for old, new in renames:
+            k = k.replace(old, new)
+        out[k] = v
+    for slot_key, parts in qkv.items():
+        prefix, leaf = slot_key.split("|")
+        fused = np.concatenate([parts["q"], parts["k"], parts["v"]], axis=0)
+        out[f"{prefix}.attention.wqkv_plain.{leaf}"] = fused
+    return out
+
+
 def convert(sd: Dict[str, np.ndarray], config: AssessorConfig) -> dict:
     sd = normalize_peft_keys(sd)
+    sd = normalize_hf_llama_keys(sd)
     params: dict = {}
     unmapped = []
     llm = config.llm
@@ -172,6 +211,14 @@ def convert(sd: Dict[str, np.ndarray], config: AssessorConfig) -> dict:
                         llm.num_key_value_heads, llm.head_dim,
                     )[:, 0]
                     put(f"{base}/attention/wqkv/base/bias", b)
+                elif rest == "attention.wqkv_plain.weight":
+                    # already [q | k | v] row order (HF Llama/Qwen2 fused
+                    # here) — no de-interleave
+                    put(f"{base}/attention/wqkv/base/kernel", v.T)
+                elif rest == "attention.wqkv_plain.bias":
+                    put(f"{base}/attention/wqkv/base/bias", v)
+                elif rest == "attention.wo.bias":
+                    put(f"{base}/attention/wo/base/bias", v)
                 elif rest == "attention.wqkv.lora_a":
                     put(f"{base}/attention/wqkv/lora_a", v.T)
                 elif rest == "attention.wqkv.lora_b":
@@ -227,7 +274,7 @@ def convert(sd: Dict[str, np.ndarray], config: AssessorConfig) -> dict:
             tgt = map_slowfast_key(k)
             if tgt is None:
                 unmapped.append(key)
-            else:
+            elif tgt[1] != "skip":
                 path, op = tgt
                 put(path, v.transpose(2, 3, 4, 1, 0) if op == "conv" else v)
         else:
@@ -266,6 +313,8 @@ def map_slowfast_key(key: str):
     block, rest = int(m.group(1)), m.group(2)
 
     def bn(path, leaf):
+        if leaf == "num_batches_tracked":  # torch BN counter: no flax analog
+            return ("", "skip")
         return (f"{path}/bn/{_BN_LEAF[leaf]}", "plain")
 
     if block == 0:  # stems + fusion

@@ -307,7 +307,10 @@ class Trainer:
             for epoch in range(total_epochs):
                 for batch in data_iter_fn(epoch):
                     rng, sub = jax.random.split(rng)
-                    device_batch = shard_batch(batch, self.mesh)
+                    # dim0 is the (sequentially scanned) accum dim; the
+                    # per-device batch dim is 1. Multi-process runs assemble
+                    # globals from per-host shards (per-host data loading).
+                    device_batch = shard_batch(batch, self.mesh, batch_dim=1)
                     self.state, loss = step_fn(self.state, device_batch, sub)
                     step = int(self.state.step)
 

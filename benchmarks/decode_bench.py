@@ -1,16 +1,21 @@
 """Autoregressive decode benchmark: tokens/sec through the fixed-cache
 while-loop decoder (models/generation.py).
 
-Exercises the full serving generate path on hardware: multimodal prefill
-(8 frames + motion) then N greedy decode steps inside one `lax.while_loop`
-— no per-token host round trips (critical through the tunneled chip).
+Times the REAL decode_loop (assessor-wrapped decode_step, one
+`lax.while_loop` on device) on a pre-filled cache, prefill excluded: the
+loop is compiled+run once to warm, then the second identical run is timed
+end-to-end with a host readback. (The previous difference-of-two-generates
+protocol was unstable through the tunnel — it reported 46 tok/s when the
+warm loop actually runs at ~6.2 ms/token.)
 
-Usage: python benchmarks/decode_bench.py [--batch 1] [--new_tokens 32]
+Usage: python benchmarks/decode_bench.py [--batch 1] [--new_tokens 64]
+       [--int8]
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -26,61 +31,64 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--new_tokens", type=int, default=32)
+    ap.add_argument("--new_tokens", type=int, default=64)
+    ap.add_argument("--prefill", type=int, default=2097)
     ap.add_argument("--scale", default="2b", choices=["tiny", "2b"])
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A16: int8 LLM weights (serving path)")
     args = ap.parse_args()
 
     from aigv_assessor_tpu.cli.common import LLM_2B
     from aigv_assessor_tpu.core.config import AssessorConfig
     from aigv_assessor_tpu.core.precision import Precision
     from aigv_assessor_tpu.models.assessor import AIGVAssessor
-    from aigv_assessor_tpu.models.generation import GenerationConfig, generate
+    from aigv_assessor_tpu.models.generation import GenerationConfig, decode_loop
+    from aigv_assessor_tpu.models.internlm2 import KVCache
 
     if args.scale == "2b":
         cfg = AssessorConfig(llm=LLM_2B, stage=1).replace(img_context_token_id=7)
-        image = 448
     else:
         cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=7)
-        image = 56
 
-    model = AIGVAssessor(cfg, Precision())
-    b, t = args.batch, args.frames
-    n_ctx = t * cfg.num_image_token + 1
-    seq = n_ctx + 48
-    rng = np.random.default_rng(0)
-    ids = rng.integers(10, cfg.llm.vocab_size, (b, seq))
-    ids[:, 1 : 1 + n_ctx] = cfg.img_context_token_id
-    px = rng.normal(size=(b, t, image, image, 3)).astype(np.float32)
+    precision = Precision(int8_weights=args.int8)
+    model = AIGVAssessor(cfg, precision)
+    b = args.batch
+    maxlen = args.prefill + args.new_tokens
 
+    # zero weights via eval_shape (timing-equivalent); int8 kernels as int8
+    img = 448 if args.scale == "2b" else 56
     shapes = jax.eval_shape(
-        model.init, jax.random.key(0), jnp.asarray(ids, jnp.int32), jnp.asarray(px)
+        model.init,
+        jax.random.key(0),
+        jnp.zeros((b, 4), jnp.int32),
+        jnp.zeros((b, 1, img, img, 3), jnp.bfloat16),
     )
     params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes
+        lambda s: jnp.zeros(s.shape, s.dtype if s.dtype == jnp.int8 else jnp.bfloat16),
+        shapes,
     )
 
-    class Tok:
-        eos_token_id = -1  # never stop (throughput measurement)
-
+    cache = KVCache.init(cfg.llm, b, maxlen)
+    cache = KVCache(
+        k=cache.k, v=cache.v, index=jnp.asarray(args.prefill, jnp.int32)
+    )
+    kv_mask = jnp.ones((b, maxlen), bool)
+    start = jnp.full((b,), args.prefill, jnp.int32)
+    first = jnp.zeros((b,), jnp.int32)
+    rng = jax.random.key(0)
     gcfg = GenerationConfig(max_new_tokens=args.new_tokens, eos_token_id=-1)
-    print(f"compile+first generate ({args.scale}, prefill {seq})...", flush=True)
-    out = generate(model, params, Tok(), ids, px, gcfg=gcfg, with_motion=True)
-    assert out.shape == (b, args.new_tokens)
+
+    print(f"compile+warm decode_loop ({args.scale}, int8={args.int8})...",
+          flush=True)
+    out = decode_loop(model, params, first, cache, start, kv_mask, rng, gcfg)
+    _ = np.asarray(out)  # full sync through the tunnel
 
     t0 = time.perf_counter()
-    out = generate(model, params, Tok(), ids, px, gcfg=gcfg, with_motion=True)
-    one = time.perf_counter() - t0  # prefill + decode + transfers
+    out = decode_loop(model, params, first, cache, start, kv_mask, rng, gcfg)
+    _ = np.asarray(out)
+    dt = time.perf_counter() - t0
 
-    n2 = args.new_tokens * 2
-    gcfg2 = GenerationConfig(max_new_tokens=n2, eos_token_id=-1)
-    _ = generate(model, params, Tok(), ids, px, gcfg=gcfg2, with_motion=True)
-    t0 = time.perf_counter()
-    _ = generate(model, params, Tok(), ids, px, gcfg=gcfg2, with_motion=True)
-    two = time.perf_counter() - t0
-
-    # difference isolates the extra decode tokens
-    per_token = max((two - one) / args.new_tokens, 1e-9)
+    per_token = dt / args.new_tokens
     print(
         json.dumps(
             {
@@ -88,9 +96,10 @@ def main():
                 "value": round(b / per_token, 2),
                 "unit": "tokens/sec (batch-aggregate)",
                 "batch": b,
-                "prefill": seq,
+                "prefill": args.prefill,
                 "scale": args.scale,
-                "prefill_plus_first_run_s": round(one, 3),
+                "int8": args.int8,
+                "ms_per_token": round(per_token * 1e3, 2),
             }
         )
     )

@@ -176,3 +176,77 @@ class TestConverter:
         assert "language_model.model.layers.0.attention.wqkv.weight" in keys
         assert "language_model.model.layers.0.attention.wqkv.lora_a" in keys
         assert "language_model.model.layers.0.attention.wqkv.lora_b" in keys
+
+
+def full_pytorchvideo_slowfast_keys():
+    """The complete `slowfast_r50` state_dict key list as the reference's
+    wrapper exposes it (`slowfast_model.feature_extraction.{0..4}`,
+    `modeling_internvl_chat.py:145-157`): stem block 0, res stages 1-4 with
+    (3, 4, 6, 3) bottleneck blocks, lateral fast->slow fusions after blocks
+    0-3, shortcut (branch1) convs on every stage's first block. BN modules
+    carry torch's 5 leaves including `num_batches_tracked`."""
+    bn_leaves = ["weight", "bias", "running_mean", "running_var",
+                 "num_batches_tracked"]
+    keys = []
+
+    def add_conv_bn(prefix, conv_name, norm_name):
+        keys.append(f"{prefix}.{conv_name}.weight")
+        keys.extend(f"{prefix}.{norm_name}.{l}" for l in bn_leaves)
+
+    P = "slowfast_model.feature_extraction"
+    for p in (0, 1):  # slow/fast stems
+        add_conv_bn(f"{P}.0.multipathway_blocks.{p}", "conv", "norm")
+    add_conv_bn(f"{P}.0.multipathway_fusion", "conv_fast_to_slow", "norm")
+    n_blocks = {1: 3, 2: 4, 3: 6, 4: 3}
+    for s, n in n_blocks.items():
+        for p in (0, 1):
+            for j in range(n):
+                base = f"{P}.{s}.multipathway_blocks.{p}.res_blocks.{j}"
+                if j == 0:
+                    add_conv_bn(base, "branch1_conv", "branch1_norm")
+                for br in "abc":
+                    add_conv_bn(f"{base}.branch2", f"conv_{br}", f"norm_{br}")
+        if s < 4:
+            add_conv_bn(f"{P}.{s}.multipathway_fusion", "conv_fast_to_slow",
+                        "norm")
+    return keys
+
+
+class TestSlowFastCoverage:
+    def test_every_key_consumed_every_param_hit(self):
+        """Golden-fixture coverage (VERDICT r1 #6): the full pytorchvideo key
+        list maps with no unmapped keys, and the mapped targets cover every
+        parameter of the Flax SlowFastR50 — so any drift in either the name
+        map or the flax module tree fails here."""
+        import jax
+        import jax.numpy as jnp
+        from flax import traverse_util
+
+        from aigv_assessor_tpu.core.config import MotionConfig
+        from aigv_assessor_tpu.models.motion import SlowFastR50
+        from aigv_assessor_tpu.tools.convert_weights import map_slowfast_key
+
+        keys = full_pytorchvideo_slowfast_keys()
+        targets = set()
+        for key in keys:
+            tgt = map_slowfast_key(key)
+            assert tgt is not None, f"unmapped slowfast key: {key}"
+            path, op = tgt
+            if op == "skip":
+                assert key.endswith("num_batches_tracked"), key
+                continue
+            assert path not in targets, f"duplicate target: {path} <- {key}"
+            targets.add(path)
+
+        model = SlowFastR50(MotionConfig(), Precision.fp32())
+        shapes = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 8, 32, 32, 3))
+        )
+        flax_paths = {
+            "/".join(map(str, k[1:]))  # strip leading 'params'
+            for k in traverse_util.flatten_dict(shapes)
+        }
+        missing = flax_paths - targets
+        assert not missing, f"flax params not covered: {sorted(missing)[:10]}"
+        extra = targets - flax_paths
+        assert not extra, f"mapped targets not in model: {sorted(extra)[:10]}"

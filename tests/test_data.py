@@ -294,3 +294,109 @@ class TestStorage:
 
         with pytest.raises(IOError):
             storage.open_bytes("s3missing://bucket/y.bin")
+
+
+class _WordTokenizer:
+    """Linear word-level tokenizer: encode(a)+encode(b) == encode(a+b) for
+    space-joined text, which is the property the plain (vicuna-style)
+    masker's token-count arithmetic assumes of llama tokenizers."""
+
+    def __init__(self, max_len=64):
+        self.model_max_length = max_len
+        self.pad_token_id = 0
+        self.legacy = True
+        self.vocab = {"<pad>": 0, "<s>": 1}
+
+    def _id(self, w):
+        if w not in self.vocab:
+            self.vocab[w] = len(self.vocab)
+        return self.vocab[w]
+
+    def encode(self, text, add_bos=False):
+        words = []
+        for w in text.split():
+            while w.endswith("</s>") and w != "</s>":
+                w = w[: -len("</s>")]
+                words.append(w)
+                w = "</s>"
+            words.append(w)
+        ids = [self._id(w) for w in words]
+        return ([1] + ids) if add_bos else ids
+
+    def decode(self, ids):
+        rev = {v: k for k, v in self.vocab.items()}
+        return " ".join(rev.get(int(i), "?") for i in ids)
+
+
+class TestPreprocessPlain:
+    """The 4th masker (reference `dataset.py:287-389`), dispatched for any
+    template other than the 3 named ones (`stage1_train.py:465-466`)."""
+
+    def test_dispatch(self):
+        from aigv_assessor_tpu.data.preprocess import (
+            get_preprocess_function,
+            preprocess_plain,
+        )
+
+        assert get_preprocess_function("internvl_zh") is preprocess_plain
+        with pytest.raises(NotImplementedError):
+            get_preprocess_function("no-such-template")
+
+    def test_internvl_zh_prompt_layout(self):
+        conv = get_conv_template("internvl_zh")
+        conv.append_message(conv.roles[0], "hello")
+        conv.append_message(conv.roles[1], "world")
+        # INTERNVL_ZH: seps = [sep2, sep] (reference conversation.py:229-236)
+        assert conv.get_prompt() == " <human>: hello <bot>: world</s>"
+
+    def test_answer_kept_question_masked(self):
+        """On a linear tokenizer the turn arithmetic aligns: the assistant
+        answer survives, the user question is masked, no mismatch."""
+        from aigv_assessor_tpu.data.conversation import (
+            Conversation,
+            register_conv_template,
+        )
+        from aigv_assessor_tpu.data.preprocess import preprocess_plain
+
+        register_conv_template(
+            Conversation(
+                name="vicuna-test",
+                system_message="A chat.",
+                roles=("USER", "ASSISTANT"),
+                sep=" ",
+                sep2="</s>",
+                sep_style="add_colon_two",
+            ),
+            override=True,
+        )
+        tok = _WordTokenizer()
+        convs = [
+            {"from": "human", "value": "rate this video now"},
+            {"from": "gpt", "value": "quality is excellent truly"},
+        ]
+        (res,) = preprocess_plain(
+            "vicuna-test", [convs], tok, [], text_only=True
+        )
+        assert not res.mismatch
+        kept = tok.decode(res.labels[res.labels != IGNORE_TOKEN_ID])
+        for w in ["quality", "is", "excellent"]:
+            assert w in kept, (w, kept)
+        for w in ["rate", "this", "video"]:
+            assert w not in kept, (w, kept)
+        # pads masked
+        assert np.all(res.labels[~res.attention_mask] == IGNORE_TOKEN_ID)
+
+    def test_internvl_zh_space_sep2_masks_all(self):
+        """Faithful quirk: internvl_zh's sep2 is ' ', so the plain masker's
+        turn split degenerates and the sample is fully masked with the
+        mismatch flag set (same as the reference would do)."""
+        from aigv_assessor_tpu.data.preprocess import preprocess_plain
+
+        tok = _WordTokenizer()
+        convs = [
+            {"from": "human", "value": "rate this"},
+            {"from": "gpt", "value": "excellent"},
+        ]
+        (res,) = preprocess_plain("internvl_zh", [convs], tok, [], text_only=True)
+        assert res.mismatch
+        assert np.all(res.labels == IGNORE_TOKEN_ID)

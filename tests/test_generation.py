@@ -19,19 +19,33 @@ from aigv_assessor_tpu.data.tokenizer import build_test_tokenizer
 FP32 = Precision.fp32()
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["internlm2", "phi3"])
+def setup(request):
+    """Generation stack parametrized over BOTH LLM backbones (reference
+    dispatches InternLM2 and Phi-3, `configuration_internvl_chat.py:56-63`;
+    Phi-3 decode path: `modeling_phi3.py:1078-1310`)."""
     tok = build_test_tokenizer(model_max_length=512)
-    cfg = AssessorConfig.tiny(stage=1).replace(
-        img_context_token_id=int(tok.img_context_token_id),
-        llm=AssessorConfig.tiny().llm.__class__(
+    if request.param == "phi3":
+        from aigv_assessor_tpu.models.phi3 import Phi3Config
+        import dataclasses
+
+        llm = dataclasses.replace(
+            Phi3Config.tiny(),
+            vocab_size=tok.vocab_size,
+            eos_token_id=tok.eos_token_id,
+            pad_token_id=tok.pad_token_id,
+        )
+    else:
+        llm = AssessorConfig.tiny().llm.__class__(
             **{
                 **AssessorConfig.tiny().llm.__dict__,
                 "vocab_size": tok.vocab_size,
                 "eos_token_id": tok.eos_token_id,
                 "pad_token_id": tok.pad_token_id,
             }
-        ),
+        )
+    cfg = AssessorConfig.tiny(stage=1).replace(
+        img_context_token_id=int(tok.img_context_token_id), llm=llm
     )
     model = AIGVAssessor(cfg, FP32)
     ids = jnp.zeros((1, 8), jnp.int32)

@@ -29,3 +29,73 @@ class TestInt8Matmul:
         deq = np.asarray(q, np.float32) * np.asarray(scale)[None, :]
         err = np.abs(deq - np.asarray(w)).max()
         assert err <= float(jnp.abs(w).max()) / 127.0 + 1e-6
+
+
+class TestInt8Serving:
+    """W8A16 serving path: Int8Dense modules over tools/convert_to_int8
+    checkpoints (the TPU-native load_in_8bit,
+    `/root/reference/internvl/model/__init__.py:32-44`)."""
+
+    def test_llm_int8_matches_dequantized(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        from flax import traverse_util
+
+        from aigv_assessor_tpu.core.config import LLMConfig
+        from aigv_assessor_tpu.core.precision import Precision
+        from aigv_assessor_tpu.models.internlm2 import InternLM2ForCausalLM
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_tree,
+            quantize_tree,
+        )
+
+        cfg = LLMConfig.tiny()
+        fp = Precision.fp32()
+        model = InternLM2ForCausalLM(cfg, fp)
+        ids = jnp.arange(12)[None, :] % cfg.vocab_size
+        params = model.init(jax.random.key(0), ids)
+        qparams = quantize_tree(
+            jax.tree_util.tree_map(lambda x: np.asarray(x), params),
+            min_size=1,
+            scope="",  # bare LLM tree (no language_model level)
+        )
+        # quantized tree has int8 kernels for every LLM dense + head
+        flat = traverse_util.flatten_dict(qparams)
+        n_int8 = sum(1 for k in flat if str(k[-1]) == "kernel_int8")
+        # scan-over-layers: 5 stacked decoder kernels + the LM head
+        assert n_int8 == 5 + 1, n_int8
+
+        int8_model = InternLM2ForCausalLM(
+            cfg, dataclasses.replace(fp, int8_weights=True)
+        )
+        logits_q, _, _ = int8_model.apply(qparams, ids)
+
+        deq = dequantize_tree(qparams)
+        logits_d, _, _ = model.apply(deq, ids)
+        np.testing.assert_allclose(
+            np.asarray(logits_q), np.asarray(logits_d), rtol=2e-2, atol=2e-2
+        )
+        # and the quantization itself is close to the fp32 model
+        logits_f, _, _ = model.apply(params, ids)
+        err = np.abs(np.asarray(logits_q) - np.asarray(logits_f)).max()
+        scale = np.abs(np.asarray(logits_f)).max()
+        assert err < 0.15 * max(scale, 1.0), (err, scale)
+
+    def test_int8_matmul_ragged_n(self):
+        """n not a multiple of the block (vocab 92553-style) pads cleanly."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from aigv_assessor_tpu.ops.int8_matmul import int8_matmul, quantize_weight
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(64, 300)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(5, 64)), jnp.bfloat16)
+        q, s = quantize_weight(w)
+        with pltpu.force_tpu_interpret_mode():
+            y = int8_matmul(x, q, s, block_n=128, block_k=64)
+        ref = (x.astype(jnp.float32) @ (q.astype(jnp.float32) * s[None, :]))
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
+        )
