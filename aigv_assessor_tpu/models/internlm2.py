@@ -103,6 +103,41 @@ class InternLM2Attention(nn.Module):
         b, s, c = x.shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
+        # head-major fast path for the training/scoring forward (no cache,
+        # no int8): the projection emits [B, H, S, D] directly so the flash
+        # kernel's layout needs no relayout copy (measured ~5 ms/layer on the
+        # ViT; same structure here). Cache and int8 paths keep [B, S, H, D].
+        fast = cache_k is None and not self.precision.int8_weights and s >= 8
+        if fast:
+            qkv = LoRADense(
+                (hq + 2 * hkv) * d,
+                use_bias=cfg.effective_qkv_bias,
+                dtype=self.precision.compute_dtype,
+                lora=self.lora,
+                head_major=hq + 2 * hkv,
+                name="wqkv",
+            )(x, deterministic)  # [B, hq+2*hkv, S, d]
+            q = qkv[:, :hq]
+            k = qkv[:, hq : hq + hkv]
+            v = qkv[:, hq + hkv :]
+            q, k = apply_rope(q, k, cos, sin, position_ids, layout="bhsd")
+            if attention_mask is not None and attention_mask.ndim == 3:
+                out = multi_head_attention(
+                    q, k, v, causal=True, mask=attention_mask, impl="xla",
+                    layout="bhsd",
+                )
+            else:
+                out = multi_head_attention(q, k, v, causal=True, layout="bhsd")
+            out = LoRADense(
+                c,
+                use_bias=cfg.effective_o_bias,
+                dtype=self.precision.compute_dtype,
+                lora=self.lora,
+                head_major_in=True,
+                name="wo",
+            )(out, deterministic)
+            return out, None
+
         qkv = LoRADense(
             (hq + 2 * hkv) * d,
             use_bias=cfg.effective_qkv_bias,

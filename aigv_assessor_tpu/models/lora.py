@@ -59,16 +59,91 @@ class Int8Dense(nn.Module):
         return y
 
 
+class _HeadMajorDense(nn.Module):
+    """Dense whose output is emitted head-major [B, heads, S, D] straight
+    from the projection einsum ('bsc,chd->bhsd') — XLA fuses the transpose
+    into the matmul output, so the flash kernel's [B*H, S, D] layout needs
+    no relayout copy (measured ~5 ms/layer saved on the ViT at bs=64,
+    BENCH_NOTES.md). Param names/shapes identical to nn.Dense."""
+
+    features: int
+    heads: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # [B, S, C] -> [B, heads, S, D]
+        c = x.shape[-1]
+        d = self.features // self.heads
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (c, self.features),
+            jnp.float32,
+        )
+        w = kernel.astype(self.dtype).reshape(c, self.heads, d)
+        y = jnp.einsum("bsc,chd->bhsd", x.astype(self.dtype), w)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype).reshape(1, self.heads, 1, d)
+        return y
+
+
+class _HeadMajorOutDense(nn.Module):
+    """Dense consuming a head-major [B, heads, S, D] input -> [B, S, C]
+    (the inverse fusion for the attention out-projection)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, S, D] -> [B, S, features]
+        _, h, _, d = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (h * d, self.features),
+            jnp.float32,
+        )
+        w = kernel.astype(self.dtype).reshape(h, d, self.features)
+        y = jnp.einsum("bhsd,hdc->bsc", x.astype(self.dtype), w)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class LoRADense(nn.Module):
     features: int
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
     lora: Optional[LoRAConfig] = None
     int8: bool = False  # W8A16 serving base (Int8Dense)
+    # head-major fusion modes (mutually exclusive): `head_major` emits
+    # [B, heads, S, D]; `head_major_in` consumes that layout
+    head_major: Optional[int] = None
+    head_major_in: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.int8:
+        if self.head_major:
+            assert not self.int8, "int8 + head_major not supported"
+            y = _HeadMajorDense(
+                self.features, self.head_major, use_bias=self.use_bias,
+                dtype=self.dtype, name="base",
+            )(x)
+        elif self.head_major_in:
+            assert not self.int8, "int8 + head_major not supported"
+            y = _HeadMajorOutDense(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                name="base",
+            )(x)
+        elif self.int8:
             y = Int8Dense(
                 self.features, use_bias=self.use_bias, dtype=self.dtype,
                 name="base",
@@ -83,7 +158,9 @@ class LoRADense(nn.Module):
             )(x)
         if self.lora is not None and self.lora.r > 0:
             r = self.lora.r
-            in_dim = x.shape[-1]
+            in_dim = (
+                x.shape[1] * x.shape[3] if self.head_major_in else x.shape[-1]
+            )
             lora_a = self.param(
                 "lora_a",
                 nn.initializers.variance_scaling(1.0 / r, "fan_in", "uniform"),
@@ -96,9 +173,21 @@ class LoRADense(nn.Module):
             h = x
             if not deterministic and self.lora.dropout > 0.0:
                 h = nn.Dropout(self.lora.dropout)(h, deterministic=False)
-            delta = (h.astype(self.dtype) @ lora_a.astype(self.dtype)) @ lora_b.astype(
-                self.dtype
-            )
+            h = h.astype(self.dtype)
+            a = lora_a.astype(self.dtype)
+            b_ = lora_b.astype(self.dtype)
+            if self.head_major_in:
+                hh, d = x.shape[1], x.shape[3]
+                xa = jnp.einsum("bhsd,hdr->bsr", h, a.reshape(hh, d, r))
+                delta = xa @ b_
+            elif self.head_major:
+                d = self.features // self.head_major
+                xa = h @ a  # [B, S, r]
+                delta = jnp.einsum(
+                    "bsr,rhd->bhsd", xa, b_.reshape(r, self.head_major, d)
+                )
+            else:
+                delta = (h @ a) @ b_
             y = y + delta * self.lora.scaling
         return y
 

@@ -131,10 +131,41 @@ class InternAttention(nn.Module):
     lora: Optional[LoRAConfig] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        kv_valid: Optional[int] = None,  # static: real tokens if x is padded
+    ) -> jnp.ndarray:
         cfg = self.config
         b, n, c = x.shape
         h, d = cfg.num_attention_heads, cfg.head_dim
+
+        if not cfg.qk_normalization:
+            # fast path: head-major projections fuse the [B,S,H,D]->[B,H,S,D]
+            # relayout into the matmuls, so the flash kernel sees its native
+            # layout with zero copies (~5 ms/layer at bs=64; BENCH_NOTES.md)
+            qkv = LoRADense(
+                3 * c,
+                use_bias=cfg.qkv_bias,
+                dtype=self.precision.compute_dtype,
+                lora=self.lora,
+                head_major=3 * h,
+                name="qkv",
+            )(x, deterministic)  # [B, 3H, N, D]
+            q, k, v = qkv[:, :h], qkv[:, h : 2 * h], qkv[:, 2 * h :]
+            out = multi_head_attention(
+                q, k, v, causal=False, layout="bhsd", kv_valid=kv_valid
+            )  # [B, H, N, D]
+            return LoRADense(
+                c,
+                use_bias=True,
+                dtype=self.precision.compute_dtype,
+                lora=self.lora,
+                head_major_in=True,
+                name="proj",
+            )(out, deterministic)
+
         qkv = LoRADense(
             3 * c,
             use_bias=cfg.qkv_bias,
@@ -144,16 +175,15 @@ class InternAttention(nn.Module):
         )(x, deterministic)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, C]
 
-        if cfg.qk_normalization:
-            # reference normalizes over the *flattened* head dim
-            # (`modeling_intern_vit.py:166-169`)
-            q = RMSNorm(c, cfg.layer_norm_eps, name="q_norm")(q)
-            k = RMSNorm(c, cfg.layer_norm_eps, name="k_norm")(k)
+        # reference normalizes over the *flattened* head dim
+        # (`modeling_intern_vit.py:166-169`)
+        q = RMSNorm(c, cfg.layer_norm_eps, name="q_norm")(q)
+        k = RMSNorm(c, cfg.layer_norm_eps, name="k_norm")(k)
 
         q = q.reshape(b, n, h, d)
         k = k.reshape(b, n, h, d)
         v = v.reshape(b, n, h, d)
-        out = multi_head_attention(q, k, v, causal=False)
+        out = multi_head_attention(q, k, v, causal=False, kv_valid=kv_valid)
         out = out.reshape(b, n, c)
         return LoRADense(
             c,
@@ -200,6 +230,7 @@ class InternVisionEncoderLayer(nn.Module):
         x: jnp.ndarray,
         drop_path_rate,  # python float (loop path) or traced scalar (scanned)
         deterministic: bool = True,
+        kv_valid: Optional[int] = None,  # static: real tokens if x is padded
     ) -> jnp.ndarray:
         cfg = self.config
         ls1 = self.param(
@@ -220,6 +251,7 @@ class InternVisionEncoderLayer(nn.Module):
         attn_out = InternAttention(cfg, self.precision, self.lora, name="attn")(
             make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm1")(x),
             deterministic,
+            kv_valid,
         )
         x = x + drop_path(
             attn_out * ls1.astype(attn_out.dtype), drop_path_rate, rng
@@ -270,11 +302,21 @@ class InternVisionModel(nn.Module):
             n_run = n_layers
         layer_cls = (
             nn.remat(
-                InternVisionEncoderLayer, static_argnums=(3,), prevent_cse=False
+                InternVisionEncoderLayer, static_argnums=(3, 4),
+                prevent_cse=False,
             )
             if self.remat
             else InternVisionEncoderLayer
         )
+        # pad the token dim ONCE for the whole encoder (1025 -> 1032) so the
+        # flash kernel's 8-multiple requirement costs no per-layer pad/slice;
+        # pad tokens are excluded from attention via kv_valid and sliced off
+        # at the end. MLP/norm work on them is 0.7% overhead.
+        n_tok = x.shape[1]
+        n_pad = (-n_tok) % 8
+        kv_valid = n_tok if n_pad else None
+        if n_pad:
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
         if n_layers > 1:
             rates = [
                 cfg.drop_path_rate * i / (n_layers - 1) for i in range(n_layers)
@@ -291,7 +333,7 @@ class InternVisionModel(nn.Module):
 
             def body(layer, carry, xs):
                 rate, active = xs
-                out = layer(carry, rate, deterministic)
+                out = layer(carry, rate, deterministic, kv_valid)
                 if partial_depth:
                     out = jnp.where(active, out, carry)
                 return out, None
@@ -307,9 +349,9 @@ class InternVisionModel(nn.Module):
             layer = layer_cls(cfg, self.precision, lora=self.lora, name="layers")
             active = jnp.arange(n_layers) < n_run
             x, _ = scanned(layer, x, (jnp.asarray(rates, jnp.float32), active))
-            return x
+            return x[:, :n_tok]
         for i in range(n_run):
             x = layer_cls(
                 cfg, self.precision, lora=self.lora, name=f"layers_{i}"
-            )(x, rates[i], deterministic)
-        return x
+            )(x, rates[i], deterministic, kv_valid)
+        return x[:, :n_tok]

@@ -80,9 +80,11 @@ def xla_attention(
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "impl")
-)
+# NOTE deliberately NOT jax.jit-wrapped: models call this inside their own
+# jit, and a nested jit is a fusion boundary — it forced the [B,S,H,D] ->
+# [B*H,S,D] relayout around the pallas kernel to materialize instead of
+# fusing into the qkv/out projections (measured +3.7 ms/layer on the ViT
+# at bs=64; BENCH_NOTES.md).
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -92,24 +94,43 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
+    layout: str = "bshd",
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head (optionally grouped-query) attention.
 
     mask: optional bool (True = attend) or additive-float tensor, shaped
     [B, Sq, Skv] or [B, H, Sq, Skv].
     impl: 'pallas' | 'xla' | None (auto: pallas on TPU when shapes allow).
+    layout: 'bshd' ([B,S,H,D]) or 'bhsd' ([B,H,S,D], relayout-free from a
+    head-major projection). kv_valid: static count of real kv tokens when
+    the caller pre-padded S (trailing tokens masked).
     """
+    if layout == "bhsd":
+        q4 = q.transpose(0, 2, 1, 3)
+        k4 = k.transpose(0, 2, 1, 3)
+        v4 = v.transpose(0, 2, 1, 3)
+    else:
+        q4, k4, v4 = q, k, v
     use_pallas = impl == "pallas" or (impl is None and _on_tpu())
     if use_pallas:
         from aigv_assessor_tpu.ops import pallas_attention
 
-        if pallas_attention.supported(q, k, v, mask):
+        if pallas_attention.supported(q4, k4, v4, mask):
             return pallas_attention.flash_attention(
-                q, k, v, causal=causal, mask=mask, scale=scale
+                q, k, v, causal=causal, mask=mask, scale=scale,
+                layout=layout, kv_valid=kv_valid,
             )
         if impl == "pallas":
             raise ValueError(
                 f"pallas flash attention unsupported for shapes q={q.shape} "
                 f"k={k.shape} mask={None if mask is None else mask.shape}"
             )
-    return xla_attention(q, k, v, causal=causal, mask=mask, scale=scale)
+    if kv_valid is not None and kv_valid < k4.shape[1]:
+        assert mask is None, "kv_valid composes with mask only on the pallas path"
+        m = jnp.arange(k4.shape[1]) < kv_valid
+        mask = jnp.broadcast_to(
+            m[None, None, :], (q4.shape[0], q4.shape[1], k4.shape[1])
+        )
+    out = xla_attention(q4, k4, v4, causal=causal, mask=mask, scale=scale)
+    return out.transpose(0, 2, 1, 3) if layout == "bhsd" else out

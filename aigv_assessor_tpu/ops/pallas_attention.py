@@ -202,15 +202,31 @@ def _fwd_kernel(
             lse_ref[0, hh] = lse[:, 0]  # lane-major [BQ]
 
 
-def _to_bhsd(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, S, H, D] -> [B*H, S, D]."""
+def _to_bhsd(x: jnp.ndarray, layout: str) -> jnp.ndarray:
+    """-> [B*H, S, D]. layout 'bshd' needs a transpose; 'bhsd' is a free
+    reshape — producers can emit [B,H,S,D] directly from the projection
+    einsum ('bsc,chd->bhsd'), which XLA fuses into the matmul output."""
+    if layout == "bhsd":
+        b, h, s, d = x.shape
+        return x.reshape(b * h, s, d)
     b, s, h, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
 
-def _from_bhsd(x: jnp.ndarray, b: int, h: int) -> jnp.ndarray:
+def _from_bhsd(x: jnp.ndarray, b: int, h: int, layout: str) -> jnp.ndarray:
     bh, s, d = x.shape
+    if layout == "bhsd":
+        return x.reshape(b, h, s, d)
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _dims(shape, layout: str):
+    """(batch, seq, heads, head_dim) from a q/k/v shape in either layout."""
+    if layout == "bhsd":
+        b, h, s, d = shape
+    else:
+        b, s, h, d = shape
+    return b, s, h, d
 
 
 def _kv_index(bh, hq: int, hkv: int):
@@ -220,7 +236,7 @@ def _kv_index(bh, hq: int, hkv: int):
 
 
 def _fwd(
-    q: jnp.ndarray,  # [B, Sq, Hq, D]
+    q: jnp.ndarray,  # [B, Sq, Hq, D] ('bshd') or [B, Hq, Sq, D] ('bhsd')
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
@@ -229,13 +245,17 @@ def _fwd(
     block_q: int,
     block_k: int,
     with_lse: bool,
+    layout: str = "bshd",
+    kv_valid: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    b, sq_orig, hq, d = q.shape
-    _, skv_orig, hkv, _ = k.shape
+    b, sq_orig, hq, d = _dims(q.shape, layout)
+    _, skv_orig, hkv, _ = _dims(k.shape, layout)
+    if kv_valid is None:
+        kv_valid = skv_orig
 
-    q2 = _pad_dim(_to_bhsd(q), 1, block_q)
-    k2 = _pad_dim(_to_bhsd(k), 1, block_k)
-    v2 = _pad_dim(_to_bhsd(v), 1, block_k)
+    q2 = _pad_dim(_to_bhsd(q, layout), 1, block_q)
+    k2 = _pad_dim(_to_bhsd(k, layout), 1, block_k)
+    v2 = _pad_dim(_to_bhsd(v, layout), 1, block_k)
     sq, skv = q2.shape[1], k2.shape[1]
     nq = sq // block_q
 
@@ -274,7 +294,7 @@ def _fwd(
             _fwd_kernel,
             scale=scale,
             causal=causal,
-            kv_valid=skv_orig,
+            kv_valid=kv_valid,
             block_k=block_k,
             hp=hp,
             with_lse=with_lse,
@@ -291,7 +311,9 @@ def _fwd(
     )(q2, k2, v2)
     out = outs[0]
     lse = outs[1].reshape(b * hq, sq) if with_lse else None
-    return _from_bhsd(out, b, hq)[:, :sq_orig], lse
+    out = _from_bhsd(out, b, hq, layout)
+    out = out[:, :, :sq_orig] if layout == "bhsd" else out[:, :sq_orig]
+    return out, lse
 
 
 # --------------------------------------------------------------- backward ---
@@ -307,8 +329,12 @@ def _bwd_dq_kernel(
     c = scale * _LOG2E
     q = q_ref[0] * c
     do = do_ref[0].astype(jnp.float32)
-    # stats stored lane-major [BQ]: relayout to column vectors (cheap, BQ elts)
-    lse2 = lse_ref[0][:, None] * _LOG2E  # base-2 lse
+    # stats stored lane-major [BQ]: relayout to column vectors (cheap, BQ
+    # elts). Fully-masked rows (pre-padded q beyond kv_valid) carry
+    # lse = -1e30; map them to +1e30 so exp2(s - lse) underflows to 0
+    # instead of overflowing to inf
+    lse_raw = lse_ref[0][:, None]
+    lse2 = jnp.where(lse_raw < -1e29, 1e30, lse_raw * _LOG2E)
     delta = delta_ref[0][:, None]
     block_q = q.shape[0]
     qi = pl.program_id(1)
@@ -379,7 +405,8 @@ def _bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * block_q, block_q), :] * c
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse2 = lse_ref[0, pl.ds(qi * block_q, block_q)][:, None] * _LOG2E
+        lse_raw = lse_ref[0, pl.ds(qi * block_q, block_q)][:, None]
+        lse2 = jnp.where(lse_raw < -1e29, 1e30, lse_raw * _LOG2E)
         delta = delta_ref[0, pl.ds(qi * block_q, block_q)][:, None]
         s = lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -433,21 +460,26 @@ def _bwd_dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(causal, scale, block_q, block_k, residuals, dout):
+def _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
     q, k, v, out, lse = residuals  # lse: [B*Hq, Sq_pad] natural-log units
-    b, sq_orig, hq, d = q.shape
-    _, skv_orig, hkv, _ = k.shape
+    b, sq_orig, hq, d = _dims(q.shape, layout)
+    _, skv_orig, hkv, _ = _dims(k.shape, layout)
+    if kv_valid is None:
+        kv_valid = skv_orig
     g = hq // hkv
 
     delta = jnp.sum(
         dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )  # [B, Sq, Hq]
-    delta = delta.transpose(0, 2, 1).reshape(b * hq, sq_orig)
+    )  # [B, Sq, Hq] ('bshd') or [B, Hq, Sq] ('bhsd')
+    if layout == "bhsd":
+        delta = delta.reshape(b * hq, sq_orig)
+    else:
+        delta = delta.transpose(0, 2, 1).reshape(b * hq, sq_orig)
 
-    q2 = _pad_dim(_to_bhsd(q), 1, block_q)
-    k2 = _pad_dim(_to_bhsd(k), 1, block_k)
-    v2 = _pad_dim(_to_bhsd(v), 1, block_k)
-    do2 = _pad_dim(_to_bhsd(dout), 1, block_q)
+    q2 = _pad_dim(_to_bhsd(q, layout), 1, block_q)
+    k2 = _pad_dim(_to_bhsd(k, layout), 1, block_k)
+    v2 = _pad_dim(_to_bhsd(v, layout), 1, block_k)
+    do2 = _pad_dim(_to_bhsd(dout, layout), 1, block_q)
     lse2 = _pad_dim(lse, 1, block_q)
     delta2 = _pad_dim(delta, 1, block_q)
     sq, skv = q2.shape[1], k2.shape[1]
@@ -484,7 +516,7 @@ def _bwd(causal, scale, block_q, block_k, residuals, dout):
             _bwd_dq_kernel,
             scale=scale,
             causal=causal,
-            kv_valid=skv_orig,
+            kv_valid=kv_valid,
             block_k=block_k,
         ),
         grid=(b * hq, nq),
@@ -499,7 +531,7 @@ def _bwd(causal, scale, block_q, block_k, residuals, dout):
             _bwd_dkv_kernel,
             scale=scale,
             causal=causal,
-            kv_valid=skv_orig,
+            kv_valid=kv_valid,
             block_q=block_q,
             sq_valid=sq_orig,
         ),
@@ -514,35 +546,40 @@ def _bwd(causal, scale, block_q, block_k, residuals, dout):
 
     dk2 = dk_q.reshape(b, hkv, g, skv, d).sum(axis=2)  # [B, Hkv, Skv, D]
     dv2 = dv_q.reshape(b, hkv, g, skv, d).sum(axis=2)
-    dk_out = dk2.transpose(0, 2, 1, 3)[:, :skv_orig].astype(k.dtype)
-    dv_out = dv2.transpose(0, 2, 1, 3)[:, :skv_orig].astype(v.dtype)
-    dq_out = _from_bhsd(dq, b, hq)[:, :sq_orig]
+    if layout == "bhsd":
+        dk_out = dk2[:, :, :skv_orig].astype(k.dtype)
+        dv_out = dv2[:, :, :skv_orig].astype(v.dtype)
+        dq_out = _from_bhsd(dq, b, hq, layout)[:, :, :sq_orig]
+    else:
+        dk_out = dk2.transpose(0, 2, 1, 3)[:, :skv_orig].astype(k.dtype)
+        dv_out = dv2.transpose(0, 2, 1, 3)[:, :skv_orig].astype(v.dtype)
+        dq_out = _from_bhsd(dq, b, hq, layout)[:, :sq_orig]
     return dq_out, dk_out, dv_out
 
 
 # ------------------------------------------------------------------ entry ---
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, causal, scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, causal, scale, block_q, block_k, layout, kv_valid):
     # primal (inference) path: no logsumexp output at all
     out, _ = _fwd(
         q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k,
-        with_lse=False,
+        with_lse=False, layout=layout, kv_valid=kv_valid,
     )
     return out
 
 
-def _flash_fwd(q, k, v, causal, scale, block_q, block_k):
+def _flash_fwd(q, k, v, causal, scale, block_q, block_k, layout, kv_valid):
     out, lse = _fwd(
         q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k,
-        with_lse=True,
+        with_lse=True, layout=layout, kv_valid=kv_valid,
     )
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(causal, scale, block_q, block_k, residuals, dout):
-    return _bwd(causal, scale, block_q, block_k, residuals, dout)
+def _flash_bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
+    return _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -558,11 +595,19 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    layout: str = "bshd",
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Flash attention; q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D]. Differentiable."""
+    """Flash attention; q [B,Sq,Hq,D] / k,v [B,Skv,Hkv,D] ('bshd'), or the
+    head-major 'bhsd' layout ([B,H,S,D]) that producers can emit directly
+    from a projection einsum with no relayout. kv_valid masks trailing
+    garbage tokens when the caller pre-pads S (static int). Differentiable.
+    """
     assert mask is None, "masked attention uses the XLA path"
+    sq = q.shape[2] if layout == "bhsd" else q.shape[1]
+    skv = k.shape[2] if layout == "bhsd" else k.shape[1]
     if causal:
-        assert q.shape[1] == k.shape[1], "causal kernel assumes self-attention"
+        assert sq == skv, "causal kernel assumes self-attention"
     scale = scale if scale is not None else q.shape[-1] ** -0.5
 
     def clamp_block(blk, s):
@@ -570,10 +615,10 @@ def flash_attention(
         return max(8, blk)
 
     # shape-aware auto-tiling: moderate sequences take one full tile
-    if not causal and k.shape[1] <= _FULL_TILE_MAX:
-        block_k = _cdiv(k.shape[1], 8) * 8
-    if not causal and q.shape[1] <= _FULL_TILE_MAX:
-        block_q = _cdiv(q.shape[1], 8) * 8
-    block_q = clamp_block(block_q, q.shape[1])
-    block_k = clamp_block(block_k, k.shape[1])
-    return _flash(q, k, v, causal, scale, block_q, block_k)
+    if not causal and skv <= _FULL_TILE_MAX:
+        block_k = _cdiv(skv, 8) * 8
+    if not causal and sq <= _FULL_TILE_MAX:
+        block_q = _cdiv(sq, 8) * 8
+    block_q = clamp_block(block_q, sq)
+    block_k = clamp_block(block_k, skv)
+    return _flash(q, k, v, causal, scale, block_q, block_k, layout, kv_valid)

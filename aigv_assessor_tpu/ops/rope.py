@@ -70,16 +70,21 @@ def apply_rope(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     position_ids: jnp.ndarray,
+    layout: str = "bshd",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Apply RoPE to q/k of shape [B, S, H, D]; position_ids [B, S].
+    """Apply RoPE to q/k of shape [B, S, H, D] ('bshd') or [B, H, S, D]
+    ('bhsd'); position_ids [B, S].
 
     Equivalent to reference `apply_rotary_pos_emb`
-    (`modeling_internlm2.py:255-261`) modulo our [B, S, H, D] layout (the
-    reference uses [B, H, S, D]).
+    (`modeling_internlm2.py:255-261`); 'bhsd' matches the reference layout.
     """
     # [B, S, D] -> broadcast over heads
-    cos_g = jnp.take(cos, position_ids, axis=0)[:, :, None, :]
-    sin_g = jnp.take(sin, position_ids, axis=0)[:, :, None, :]
+    if layout == "bhsd":
+        cos_g = jnp.take(cos, position_ids, axis=0)[:, None, :, :]
+        sin_g = jnp.take(sin, position_ids, axis=0)[:, None, :, :]
+    else:
+        cos_g = jnp.take(cos, position_ids, axis=0)[:, :, None, :]
+        sin_g = jnp.take(sin, position_ids, axis=0)[:, :, None, :]
     cos_g = cos_g.astype(q.dtype)
     sin_g = sin_g.astype(q.dtype)
     q_rot = q * cos_g + rotate_half(q) * sin_g

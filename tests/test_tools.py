@@ -73,7 +73,7 @@ class TestInt8:
             "a": {"kernel": rng.normal(size=(128, 64)).astype(np.float32)},
             "b": {"bias": rng.normal(size=(64,)).astype(np.float32)},
         }
-        qt = quantize_tree(params, min_size=10)
+        qt = quantize_tree(params, min_size=10, scope="")
         flat = traverse_util.flatten_dict(qt)
         assert ("a", "kernel_int8") in flat and ("b", "bias") in flat
         back = dequantize_tree(qt)
