@@ -333,9 +333,9 @@ def _bwd_dq_kernel(
     # elts). Fully-masked rows (pre-padded q beyond kv_valid) carry
     # lse = -1e30; map them to +1e30 so exp2(s - lse) underflows to 0
     # instead of overflowing to inf
-    lse_raw = lse_ref[0][:, None]
+    lse_raw = lse_ref[0, 0][:, None]
     lse2 = jnp.where(lse_raw < -1e29, 1e30, lse_raw * _LOG2E)
-    delta = delta_ref[0][:, None]
+    delta = delta_ref[0, 0][:, None]
     block_q = q.shape[0]
     qi = pl.program_id(1)
     num_k_blocks = _cdiv(kv_valid, block_k)
@@ -405,9 +405,9 @@ def _bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * block_q, block_q), :] * c
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse_raw = lse_ref[0, pl.ds(qi * block_q, block_q)][:, None]
+        lse_raw = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
         lse2 = jnp.where(lse_raw < -1e29, 1e30, lse_raw * _LOG2E)
-        delta = delta_ref[0, pl.ds(qi * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
         s = lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -480,8 +480,11 @@ def _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
     k2 = _pad_dim(_to_bhsd(k, layout), 1, block_k)
     v2 = _pad_dim(_to_bhsd(v, layout), 1, block_k)
     do2 = _pad_dim(_to_bhsd(dout, layout), 1, block_q)
-    lse2 = _pad_dim(lse, 1, block_q)
-    delta2 = _pad_dim(delta, 1, block_q)
+    # stats shaped [B*Hq, 1, Sq]: trailing block dims (1, block_q) satisfy
+    # Mosaic tiling (dim -2 equals the array dim); a 2D (1, block_q) block of
+    # a [B*Hq, Sq] array does NOT lower
+    lse2 = _pad_dim(lse, 1, block_q)[:, None, :]
+    delta2 = _pad_dim(delta, 1, block_q)[:, None, :]
     sq, skv = q2.shape[1], k2.shape[1]
     nq, nk = sq // block_q, skv // block_k
 
@@ -502,10 +505,10 @@ def _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
         memory_space=pltpu.VMEM,
     )
     stat_blk = pl.BlockSpec(
-        (1, block_q), lambda bh, i: (bh, i), memory_space=pltpu.VMEM
+        (1, 1, block_q), lambda bh, i: (bh, 0, i), memory_space=pltpu.VMEM
     )
     stat_full = pl.BlockSpec(
-        (1, sq), lambda bh, i: (bh, 0), memory_space=pltpu.VMEM
+        (1, 1, sq), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
     )
     outblk_q = pl.BlockSpec(
         (1, block_k, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
