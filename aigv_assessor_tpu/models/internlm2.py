@@ -33,7 +33,7 @@ from jax import lax
 from aigv_assessor_tpu.core.config import LLMConfig, LoRAConfig
 from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.models.lora import LoRADense
-from aigv_assessor_tpu.ops.attention import multi_head_attention
+from aigv_assessor_tpu.ops.attention import fused_qkv_attention, multi_head_attention
 from aigv_assessor_tpu.ops.norms import rms_norm
 from aigv_assessor_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -119,15 +119,18 @@ class InternLM2Attention(nn.Module):
             )(x, deterministic)  # [B, hq+2*hkv, S, d]
             q = qkv[:, :hq]
             k = qkv[:, hq : hq + hkv]
-            v = qkv[:, hq + hkv :]
             q, k = apply_rope(q, k, cos, sin, position_ids, layout="bhsd")
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
-                    q, k, v, causal=True, mask=attention_mask, impl="xla",
-                    layout="bhsd",
+                    q, k, qkv[:, hq + hkv :], causal=True,
+                    mask=attention_mask, impl="xla", layout="bhsd",
                 )
             else:
-                out = multi_head_attention(q, k, v, causal=True, layout="bhsd")
+                # re-fuse post-rope so the flash kernel reads q/k/v as three
+                # views of one array (rope writes q/k anyway; the extra v
+                # copy is one fused elementwise pass)
+                qkv = jnp.concatenate([q, k, qkv[:, hq + hkv :]], axis=1)
+                out = fused_qkv_attention(qkv, hq, hkv, causal=True)
             out = LoRADense(
                 c,
                 use_bias=cfg.effective_o_bias,

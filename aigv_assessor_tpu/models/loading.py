@@ -44,16 +44,28 @@ def load_model_and_tokenizer(
     import dataclasses
 
     precision = precision or Precision()
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    has_i8 = any(str(k[-1]) == "kernel_int8" for k in flat)
+    has_i4 = any(str(k[-1]) == "kernel_int4" for k in flat)
     if int8:
         # W8A16 serving: keep (or create) int8 LLM kernels and run the
         # int8 matmul path — the TPU-native load_in_8bit
         # (`/root/reference/internvl/model/__init__.py:32-44`)
-        from aigv_assessor_tpu.tools.convert_to_int8 import quantize_tree
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_tree,
+            quantize_tree,
+        )
 
-        if not _has_int8(params):
+        if has_i4:
+            params = quantize_tree(dequantize_tree(params))
+        elif not has_i8:
             params = quantize_tree(params)
         precision = dataclasses.replace(precision, int8_weights=True)
-    elif _has_int8(params):
+    elif has_i8 or has_i4:
+        # int4 checkpoints (load_in_4bit equivalent: quarter-size storage)
+        # always dequantize to the compute dtype at load
         from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_tree
 
         params = dequantize_tree(params)
@@ -95,7 +107,7 @@ def _has_int8(params) -> bool:
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(params)
-    return any(str(k[-1]) == "kernel_int8" for k in flat)
+    return any(str(k[-1]) in ("kernel_int8", "kernel_int4") for k in flat)
 
 
 def shard_for_inference(

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from aigv_assessor_tpu.core.config import LoRAConfig, VisionConfig
 from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.models.lora import LoRADense
-from aigv_assessor_tpu.ops.attention import multi_head_attention
+from aigv_assessor_tpu.ops.attention import fused_qkv_attention, multi_head_attention
 from aigv_assessor_tpu.ops.norms import layer_norm, rms_norm
 
 
@@ -153,9 +153,8 @@ class InternAttention(nn.Module):
                 head_major=3 * h,
                 name="qkv",
             )(x, deterministic)  # [B, 3H, N, D]
-            q, k, v = qkv[:, :h], qkv[:, h : 2 * h], qkv[:, 2 * h :]
-            out = multi_head_attention(
-                q, k, v, causal=False, layout="bhsd", kv_valid=kv_valid
+            out = fused_qkv_attention(
+                qkv, h, h, causal=False, kv_valid=kv_valid
             )  # [B, H, N, D]
             return LoRADense(
                 c,

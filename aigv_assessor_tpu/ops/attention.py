@@ -134,3 +134,40 @@ def multi_head_attention(
         )
     out = xla_attention(q4, k4, v4, causal=causal, mask=mask, scale=scale)
     return out.transpose(0, 2, 1, 3) if layout == "bhsd" else out
+
+
+def fused_qkv_attention(
+    qkv: jnp.ndarray,  # [B, hq + 2*hkv, S, D] head-major, [q | k | v]
+    hq: int,
+    hkv: int,
+    *,
+    causal: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[int] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Attention straight off a fused head-major qkv projection. On the
+    pallas path q/k/v are BlockSpec views of the one array (no slice
+    copies); fallbacks slice."""
+    d = qkv.shape[-1]
+    s = qkv.shape[2]
+    use_pallas = impl == "pallas" or (impl is None and _on_tpu())
+    if (
+        use_pallas
+        and mask is None
+        and (d % 128 == 0 or d == 64)
+        and s >= 8
+        and hq % hkv == 0
+    ):
+        from aigv_assessor_tpu.ops import pallas_attention
+
+        return pallas_attention.flash_attention_qkv(
+            qkv, hq, hkv, causal=causal, kv_valid=kv_valid
+        )
+    q = qkv[:, :hq]
+    k = qkv[:, hq : hq + hkv]
+    v = qkv[:, hq + hkv :]
+    return multi_head_attention(
+        q, k, v, causal=causal, mask=mask, layout="bhsd", kv_valid=kv_valid,
+        impl=impl,
+    )

@@ -98,7 +98,7 @@ def supported(q, k, v, mask) -> bool:
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, *rest,
-    scale, causal, kv_valid, block_k, hp, with_lse,
+    scale, causal, kv_valid, block_k, hp, with_lse, mask_tail=False,
 ):
     """hp = heads per program (leading block dim): interleaving 2 heads lets
     the scheduler overlap one head's VPU softmax with the other's MXU matmuls
@@ -113,15 +113,20 @@ def _fwd_kernel(
         block_q, d = q.shape
 
         if not causal and num_k_blocks == 1:
-            # single-tile fast path: K/V are ZERO-padded, so the padded
-            # columns score exactly 0 and contribute nothing to p@v (v rows
-            # are zero); their softmax mass is n_pad * exp2(-m), subtracted
-            # in closed form — no mask/iota passes at all
+            # single-tile fast path. Two tail regimes:
+            # - kernel-internal padding is ZERO, so padded columns score 0
+            #   and contribute n_pad * exp2(-m) of softmax mass, subtracted
+            #   in closed form (no mask/iota passes);
+            # - caller-pre-padded tails (explicit kv_valid) hold GARBAGE
+            #   (evolved pad tokens) and must be masked explicitly.
             n_pad = block_k - kv_valid
             s = lax.dot_general(
                 q, k_ref[hh], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if mask_tail and n_pad:
+                col_ids = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col_ids < kv_valid, s, _NEG_INF)
             m = jnp.max(s, axis=1, keepdims=True)
             pf = jnp.exp2(s - m)
             l = jnp.sum(pf, axis=1, keepdims=True)
@@ -129,7 +134,7 @@ def _fwd_kernel(
                 pf.astype(v_ref.dtype), v_ref[hh], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if n_pad:
+            if n_pad and not mask_tail:
                 l = l - n_pad * jnp.exp2(-m)
             r = 1.0 / jnp.where(l <= 0.0, 1.0, l)
             o_ref[hh] = (pv * r).astype(o_ref.dtype)
@@ -250,6 +255,9 @@ def _fwd(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     b, sq_orig, hq, d = _dims(q.shape, layout)
     _, skv_orig, hkv, _ = _dims(k.shape, layout)
+    # explicit kv_valid < S means the tail holds caller data (garbage pad
+    # tokens), not kernel-added zeros: it must be masked, not corrected
+    mask_tail = kv_valid is not None and kv_valid < skv_orig
     if kv_valid is None:
         kv_valid = skv_orig
 
@@ -298,6 +306,7 @@ def _fwd(
             block_k=block_k,
             hp=hp,
             with_lse=with_lse,
+            mask_tail=mask_tail,
         ),
         grid=((b * hq) // hp, nq),
         in_specs=[q_spec, kv_spec, kv_spec],
@@ -321,11 +330,11 @@ def _fwd(
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, causal, kv_valid, block_k,
+    *, scale, causal, kv_valid, block_k, mask_tail=False,
 ):
-    """Zero-padded kv columns need NO masking here: k rows are zero, so their
-    ds@k contribution to dq is exactly zero whatever p is. Only the causal
-    diagonal band is masked."""
+    """Zero-padded kv columns need NO masking (k rows are zero, so ds@k
+    contributes exactly zero whatever p is) — but caller-pre-padded tails
+    (mask_tail) hold garbage and must be masked like the causal band."""
     c = scale * _LOG2E
     q = q_ref[0] * c
     do = do_ref[0].astype(jnp.float32)
@@ -347,6 +356,9 @@ def _bwd_dq_kernel(
     else:
         upper = num_k_blocks
         full_upper = num_k_blocks
+    if mask_tail:
+        # garbage tail: only whole blocks below kv_valid may run unmasked
+        full_upper = jnp.minimum(full_upper, kv_valid // block_k)
 
     row_ids = qi * block_q + lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
@@ -361,7 +373,10 @@ def _bwd_dq_kernel(
             col_ids = j * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            p = jnp.where(col_ids <= row_ids, p, 0.0)
+            valid = col_ids <= row_ids if causal else col_ids >= 0
+            if mask_tail:
+                valid = valid & (col_ids < kv_valid)
+            p = jnp.where(valid, p, 0.0)
         dp = lax.dot_general(
             do, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -377,7 +392,7 @@ def _bwd_dq_kernel(
         0, full_upper, functools.partial(body, masked=False),
         jnp.zeros((block_q, q.shape[1]), jnp.float32),
     )
-    if causal:
+    if causal or mask_tail:
         dq = lax.fori_loop(
             full_upper, upper, functools.partial(body, masked=True), dq
         )
@@ -386,7 +401,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, causal, kv_valid, block_q, sq_valid,
+    *, scale, causal, kv_valid, block_q, sq_valid, mask_tail=False,
 ):
     """Padding needs NO masking here: padded q rows have do=0 and delta=0, so
     both their dv (p^T@do) and dk (ds@q with ds = p*(do·v - delta)) vanish,
@@ -416,7 +431,10 @@ def _bwd_dkv_kernel(
             row_ids = qi * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            p = jnp.where(col_ids <= row_ids, p, 0.0)
+            valid = col_ids <= row_ids if causal else col_ids >= 0
+            if mask_tail:
+                valid = valid & (col_ids < kv_valid)
+            p = jnp.where(valid, p, 0.0)
         dv_inc = lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -435,7 +453,16 @@ def _bwd_dkv_kernel(
     d = k_blk.shape[1]
     dk0 = jnp.zeros((block_k, d), jnp.float32)
     dv0 = jnp.zeros((block_k, d), jnp.float32)
-    if causal:
+    if mask_tail:
+        # garbage tail: every q block masks col >= kv_valid (and the causal
+        # band); correctness over speed — only callers that pre-pad hit this
+        dk, dv = lax.fori_loop(
+            lax.div(ki * block_k, block_q) if causal else 0,
+            num_q_blocks,
+            functools.partial(body, masked=True),
+            (dk0, dv0),
+        )
+    elif causal:
         first_needed = lax.div(ki * block_k, block_q)
         # first q block fully below the diagonal wrt this kv block:
         # qi*block_q >= (ki+1)*block_k - 1
@@ -464,6 +491,9 @@ def _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
     q, k, v, out, lse = residuals  # lse: [B*Hq, Sq_pad] natural-log units
     b, sq_orig, hq, d = _dims(q.shape, layout)
     _, skv_orig, hkv, _ = _dims(k.shape, layout)
+    # explicit kv_valid < S means the tail holds caller data (garbage pad
+    # tokens), not kernel-added zeros: it must be masked, not corrected
+    mask_tail = kv_valid is not None and kv_valid < skv_orig
     if kv_valid is None:
         kv_valid = skv_orig
     g = hq // hkv
@@ -521,6 +551,7 @@ def _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
             causal=causal,
             kv_valid=kv_valid,
             block_k=block_k,
+            mask_tail=mask_tail,
         ),
         grid=(b * hq, nq),
         in_specs=[qblk, kvfull, kvfull, qblk, stat_blk, stat_blk],
@@ -537,6 +568,7 @@ def _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
             kv_valid=kv_valid,
             block_q=block_q,
             sq_valid=sq_orig,
+            mask_tail=mask_tail,
         ),
         grid=(b * hq, nk),
         in_specs=[qfull, kvblk, kvblk, qfull, stat_full, stat_full],
@@ -625,3 +657,182 @@ def flash_attention(
     block_q = clamp_block(block_q, sq)
     block_k = clamp_block(block_k, skv)
     return _flash(q, k, v, causal, scale, block_q, block_k, layout, kv_valid)
+
+
+# ---------------------------------------------------- fused-qkv entry -------
+
+
+def _fused_specs(b, ht, hq, hkv, sq, skv, d, block_q, hp):
+    """BlockSpecs viewing q/k/v inside ONE fused [B*Ht, S, D] array
+    (Ht = hq + 2*hkv, heads ordered [q | k | v] as the projection emits
+    them): three aliased views of the projection output, zero slice copies.
+    Index maps translate the (head-block, q-block) grid onto rows of the
+    fused array."""
+    g = hq // hkv
+
+    if hp == 2:  # MHA: two q heads per program
+        hq2, ht2 = hq // 2, ht  # block units of hp rows
+
+        def q_map(bh, qi):
+            bi, t = bh // hq2, bh % hq2
+            return bi * (ht // 2), qi, 0  # placeholder; corrected below
+
+        # block index counts in units of hp rows: row b*ht + 2t -> block
+        # b*(ht//2) + t
+        def q_map(bh, qi):
+            bi, t = bh // hq2, bh % hq2
+            return bi * (ht // 2) + t, qi, 0
+
+        def kv_map_k(bh, qi):
+            bi, t = bh // hq2, bh % hq2
+            return bi * (ht // 2) + hq // 2 + t, 0, 0
+
+        def kv_map_v(bh, qi):
+            bi, t = bh // hq2, bh % hq2
+            return bi * (ht // 2) + (hq + hkv) // 2 + t, 0, 0
+    else:  # GQA (or odd): one q head per program
+
+        def q_map(bh, qi):
+            bi, h = bh // hq, bh % hq
+            return bi * ht + h, qi, 0
+
+        def kv_map_k(bh, qi):
+            bi, h = bh // hq, bh % hq
+            return bi * ht + hq + h // g, 0, 0
+
+        def kv_map_v(bh, qi):
+            bi, h = bh // hq, bh % hq
+            return bi * ht + hq + hkv + h // g, 0, 0
+
+    q_spec = pl.BlockSpec((hp, block_q, d), q_map, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((hp, skv, d), kv_map_k, memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((hp, skv, d), kv_map_v, memory_space=pltpu.VMEM)
+    return q_spec, k_spec, v_spec
+
+
+def _fwd_qkv(
+    qkv: jnp.ndarray,  # [B, Ht, S, D], heads ordered [q | k | v]
+    hq: int,
+    hkv: int,
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    with_lse: bool,
+    kv_valid: Optional[int],
+):
+    b, ht, s, d = qkv.shape
+    assert ht == hq + 2 * hkv
+    mask_tail = kv_valid is not None and kv_valid < s
+    if kv_valid is None:
+        kv_valid = s
+    qkv3 = _pad_dim(qkv.reshape(b * ht, s, d), 1, max(block_q, block_k))
+    sq = qkv3.shape[1]
+    nq = sq // block_q
+
+    hp = 2 if (hq == hkv and hq % 2 == 0 and ht % 2 == 0) else 1
+    q_spec, k_spec, v_spec = _fused_specs(
+        b, ht, hq, hkv, sq, sq, d, block_q, hp
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (hp, block_q, d), lambda bh, qi: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b * hq, sq, d), qkv.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, hp, block_q), lambda bh, qi: (bh, 0, qi),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * hq // hp, hp, sq), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            scale=scale,
+            causal=causal,
+            kv_valid=kv_valid,
+            block_k=block_k,
+            hp=hp,
+            with_lse=with_lse,
+            mask_tail=mask_tail,
+        ),
+        grid=((b * hq) // hp, nq),
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq * sq * d,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * hq * sq * sq,
+        ),
+    )(qkv3, qkv3, qkv3)
+    out = outs[0].reshape(b, hq, sq, d)[:, :, :s]
+    lse = outs[1].reshape(b * hq, sq) if with_lse else None
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _flash_qkv(qkv, hq, hkv, causal, scale, block_q, block_k, kv_valid):
+    out, _ = _fwd_qkv(
+        qkv, hq, hkv, causal=causal, scale=scale, block_q=block_q,
+        block_k=block_k, with_lse=False, kv_valid=kv_valid,
+    )
+    return out
+
+
+def _flash_qkv_fwd(qkv, hq, hkv, causal, scale, block_q, block_k, kv_valid):
+    out, lse = _fwd_qkv(
+        qkv, hq, hkv, causal=causal, scale=scale, block_q=block_q,
+        block_k=block_k, with_lse=True, kv_valid=kv_valid,
+    )
+    return out, (qkv, out, lse)
+
+
+def _flash_qkv_bwd(hq, hkv, causal, scale, block_q, block_k, kv_valid,
+                   residuals, dout):
+    qkv, out, lse = residuals
+    # backward reuses the per-tensor kernels on head-major views (the slice
+    # copies here only run under AD, where dk/dv writes dwarf them)
+    q = qkv[:, :hq]
+    k = qkv[:, hq : hq + hkv]
+    v = qkv[:, hq + hkv :]
+    dq, dk, dv = _bwd(
+        causal, scale, block_q, block_k, "bhsd", kv_valid,
+        (q, k, v, out, lse), dout,
+    )
+    return (jnp.concatenate([dq, dk, dv], axis=1),)
+
+
+_flash_qkv.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
+
+
+def flash_attention_qkv(
+    qkv: jnp.ndarray,  # [B, hq + 2*hkv, S, D], heads ordered [q | k | v]
+    hq: int,
+    hkv: int,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    kv_valid: Optional[int] = None,
+) -> jnp.ndarray:
+    """Flash attention straight off a fused head-major qkv projection:
+    q/k/v are three BlockSpec views into ONE array, so the per-tensor slice
+    copies disappear. Returns [B, hq, S, D]. Differentiable."""
+    d = qkv.shape[-1]
+    s = qkv.shape[2]
+    scale = scale if scale is not None else d**-0.5
+    if not causal and s <= _FULL_TILE_MAX:
+        block_q = block_k = _cdiv(s, 8) * 8
+    block_q = max(8, min(block_q, _cdiv(s, 8) * 8))
+    block_k = max(8, min(block_k, _cdiv(s, 8) * 8))
+    return _flash_qkv(qkv, hq, hkv, causal, scale, block_q, block_k, kv_valid)

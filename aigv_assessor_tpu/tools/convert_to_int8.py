@@ -57,6 +57,61 @@ def quantize_tree(
     return traverse_util.unflatten_dict(out)
 
 
+def quantize_kernel_int4(w: np.ndarray):
+    """4-bit per-channel symmetric quantization, two values packed per int8
+    byte along the IN dim (the reference's bitsandbytes `load_in_4bit`
+    equivalent at the checkpoint level; dequantized to bf16 at load — bnb's
+    nf4 also dequantizes for the matmul)."""
+    absmax = np.abs(w).max(axis=-2, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    if q.shape[-2] % 2:
+        pad = [(0, 0)] * q.ndim
+        pad[-2] = (0, 1)
+        q = np.pad(q, pad)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = ((lo & 0x0F) | ((hi & 0x0F) << 4)).astype(np.int8)
+    return packed, np.squeeze(scale, axis=-2)
+
+
+def dequantize_kernel_int4(
+    packed: np.ndarray, scale: np.ndarray, in_dim: int, dtype=np.float32
+):
+    def unpack_nibble(x):
+        # sign-extend the low nibble
+        return ((x.astype(np.int8) << 4).astype(np.int8) >> 4).astype(np.int8)
+
+    lo = unpack_nibble(packed)
+    hi = packed.astype(np.int8) >> 4  # arithmetic shift sign-extends
+    q = np.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    q = q.reshape(packed.shape[:-2] + (2 * packed.shape[-2], packed.shape[-1]))
+    q = q[..., :in_dim, :]
+    return (q.astype(np.float32) * scale[..., None, :]).astype(dtype)
+
+
+def quantize_tree_int4(
+    params: dict, min_size: int = 4096, scope: str = "language_model"
+) -> dict:
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    n_q = 0
+    for key, v in flat.items():
+        name = str(key[-1])
+        v = np.asarray(v)
+        in_scope = not scope or any(str(k) == scope for k in key)
+        if in_scope and name == "kernel" and v.ndim in (2, 3) and v.size >= min_size:
+            packed, scale = quantize_kernel_int4(v)
+            out[key[:-1] + ("kernel_int4",)] = packed
+            out[key[:-1] + ("kernel_scale4",)] = scale
+            out[key[:-1] + ("kernel_in_dim",)] = np.asarray(v.shape[-2], np.int32)
+            n_q += 1
+        else:
+            out[key] = v
+    print(f"quantized {n_q} kernels to int4")
+    return traverse_util.unflatten_dict(out)
+
+
 def dequantize_tree(params: dict, dtype=np.float32) -> dict:
     flat = traverse_util.flatten_dict(params)
     out = {}
@@ -67,7 +122,13 @@ def dequantize_tree(params: dict, dtype=np.float32) -> dict:
             out[key[:-1] + ("kernel",)] = dequantize_kernel(
                 np.asarray(v), np.asarray(scale), dtype
             )
-        elif name == "kernel_scale":
+        elif name == "kernel_int4":
+            scale = flat[key[:-1] + ("kernel_scale4",)]
+            in_dim = int(flat[key[:-1] + ("kernel_in_dim",)])
+            out[key[:-1] + ("kernel",)] = dequantize_kernel_int4(
+                np.asarray(v), np.asarray(scale), in_dim, dtype
+            )
+        elif name in ("kernel_scale", "kernel_scale4", "kernel_in_dim"):
             continue
         else:
             out[key] = v
@@ -78,12 +139,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--params", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8))
+    ap.add_argument("--scope", default="language_model",
+                    help="subtree to quantize ('' = everything eligible)")
     ap.add_argument("--dequantize", action="store_true",
-                    help="reverse: int8 file -> fp32 params")
+                    help="reverse: int8/int4 file -> fp32 params")
     args = ap.parse_args(argv)
     with open(args.params, "rb") as f:
         params = serialization.msgpack_restore(f.read())
-    out = dequantize_tree(params) if args.dequantize else quantize_tree(params)
+    if args.dequantize:
+        out = dequantize_tree(params)
+    elif args.bits == 4:
+        out = quantize_tree_int4(params, scope=args.scope)
+    else:
+        out = quantize_tree(params, scope=args.scope)
     with open(args.out, "wb") as f:
         f.write(serialization.msgpack_serialize(out))
     print(f"wrote {args.out}")

@@ -125,3 +125,112 @@ class TestPallasFlashAttention:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-2
             )
+
+
+class TestFusedQKVFlash:
+    """flash_attention_qkv: q/k/v as BlockSpec views of one fused
+    head-major array (interpret mode verifies the index-map arithmetic)."""
+
+    def _run(self, causal, b=2, s=200, hq=4, hkv=2, d=64, kv_valid=None):
+        from jax.experimental.pallas import tpu as pltpu
+        from aigv_assessor_tpu.ops.pallas_attention import flash_attention_qkv
+
+        rng = np.random.default_rng(7)
+        sv = kv_valid if kv_valid is not None else s
+        q = rng.normal(size=(b, hq, s, d)).astype(np.float32)
+        k = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
+        v = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
+        if kv_valid is not None:  # garbage beyond kv_valid must be masked
+            k[:, :, kv_valid:] = 1e3
+            v[:, :, kv_valid:] = -1e3
+        qkv = jnp.asarray(np.concatenate([q, k, v], axis=1))
+        with pltpu.force_tpu_interpret_mode():
+            got = flash_attention_qkv(
+                qkv, hq, hkv, causal=causal, kv_valid=kv_valid
+            )
+        # reference on the valid prefix, bshd layout
+        want = naive_attention(
+            q.transpose(0, 2, 1, 3)[:, :sv],
+            k.transpose(0, 2, 1, 3)[:, :sv],
+            v.transpose(0, 2, 1, 3)[:, :sv],
+            causal=causal,
+        ).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32)[:, :, :sv], want, rtol=2e-2, atol=2e-2
+        )
+
+    def test_mha_noncausal(self):
+        self._run(False, hq=4, hkv=4)  # hp=2 pairing path
+
+    def test_gqa_causal(self):
+        self._run(True, hq=4, hkv=2, d=128)
+
+    def test_kv_valid_masks_tail(self):
+        self._run(False, hq=4, hkv=4, s=200, kv_valid=150)
+
+    def test_grad_matches_sliced(self):
+        """Fused-qkv VJP == slicing + per-tensor flash VJP."""
+        from jax.experimental.pallas import tpu as pltpu
+        from aigv_assessor_tpu.ops.pallas_attention import (
+            flash_attention,
+            flash_attention_qkv,
+        )
+
+        rng = np.random.default_rng(9)
+        b, hq, hkv, s, d = 1, 2, 1, 64, 64
+        qkv = jnp.asarray(
+            rng.normal(size=(b, hq + 2 * hkv, s, d)).astype(np.float32)
+        )
+
+        def loss_fused(qkv):
+            return jnp.sum(flash_attention_qkv(qkv, hq, hkv, causal=True) ** 2)
+
+        def loss_sliced(qkv):
+            out = flash_attention(
+                qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :],
+                causal=True, layout="bhsd",
+            )
+            return jnp.sum(out**2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_fused)(qkv)
+            g2 = jax.grad(loss_sliced)(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3
+        )
+
+    def test_grad_with_garbage_tail(self):
+        """kv_valid grad correctness: gradients at valid positions match a
+        reference on the valid prefix; garbage-tail positions get ZERO grads
+        (the fwd masks them, so nothing may flow back through them)."""
+        from jax.experimental.pallas import tpu as pltpu
+        from aigv_assessor_tpu.ops.pallas_attention import flash_attention_qkv
+
+        rng = np.random.default_rng(11)
+        b, hq, hkv, s, d, sv = 1, 2, 2, 64, 64, 40
+        qkv_np = rng.normal(size=(b, hq + 2 * hkv, s, d)).astype(np.float32)
+        qkv_np[:, hq:, sv:] = 100.0  # garbage k/v tail
+        qkv = jnp.asarray(qkv_np)
+
+        def loss(qkv):
+            out = flash_attention_qkv(qkv, hq, hkv, causal=False, kv_valid=sv)
+            return jnp.sum(out[:, :, :sv] ** 2)
+
+        def loss_ref(qkv):
+            q = qkv[:, :hq, :sv].transpose(0, 2, 1, 3)
+            k = qkv[:, hq : hq + hkv, :sv].transpose(0, 2, 1, 3)
+            v = qkv[:, hq + hkv :, :sv].transpose(0, 2, 1, 3)
+            from aigv_assessor_tpu.ops.attention import xla_attention
+
+            return jnp.sum(xla_attention(q, k, v) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss)(qkv)
+        g_ref = jax.grad(loss_ref)(qkv)
+        g, g_ref = np.asarray(g), np.asarray(g_ref)
+        np.testing.assert_allclose(
+            g[:, :, :sv], g_ref[:, :, :sv], rtol=2e-3, atol=2e-3
+        )
+        # k/v tail gradients must be exactly zero (q tail rows get grads
+        # only through their own masked-out outputs, which the loss excludes)
+        np.testing.assert_array_equal(g[:, hq:, sv:], 0.0)

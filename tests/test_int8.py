@@ -99,3 +99,49 @@ class TestInt8Serving:
         np.testing.assert_allclose(
             np.asarray(y, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
         )
+
+
+class TestInt4:
+    def test_int4_roundtrip_accuracy(self):
+        """4-bit export (reference load_in_4bit parity at the checkpoint
+        level): pack/unpack is exact for the quantized grid and within
+        1-step quantization error for real values; odd in_dims pad."""
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_kernel_int4,
+            quantize_kernel_int4,
+        )
+
+        rng = np.random.default_rng(0)
+        for shape in [(64, 32), (33, 16), (3, 10, 8)]:
+            w = rng.normal(size=shape).astype(np.float32)
+            packed, scale = quantize_kernel_int4(w)
+            assert packed.shape[-2] == (shape[-2] + 1) // 2
+            back = dequantize_kernel_int4(packed, scale, shape[-2])
+            assert back.shape == w.shape
+            # max error is half a quantization step per channel
+            step = np.abs(w).max(axis=-2, keepdims=True) / 7.0
+            assert np.all(np.abs(back - w) <= 0.5 * step + 1e-7)
+
+    def test_int4_tree_and_load_dequant(self):
+        from flax import traverse_util
+
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_tree,
+            quantize_tree_int4,
+        )
+
+        rng = np.random.default_rng(1)
+        params = {
+            "language_model": {
+                "w": {"kernel": rng.normal(size=(64, 48)).astype(np.float32)}
+            },
+            "mlp1": {"fc1": {"kernel": rng.normal(size=(64, 48)).astype(np.float32)}},
+        }
+        qt = quantize_tree_int4(params, min_size=10)
+        flat = traverse_util.flatten_dict(qt)
+        assert ("language_model", "w", "kernel_int4") in flat
+        # outside scope untouched
+        assert ("mlp1", "fc1", "kernel") in flat
+        back = traverse_util.flatten_dict(dequantize_tree(qt))
+        assert ("language_model", "w", "kernel") in back
+        assert back[("language_model", "w", "kernel")].shape == (64, 48)
