@@ -516,8 +516,10 @@ def _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
     do2 = _pad_dim(_to_bhsd(dout, layout), 1, block_q)
     # stats shaped [B*Hq, 1, Sq]: trailing block dims (1, block_q) satisfy
     # Mosaic tiling (dim -2 equals the array dim); a 2D (1, block_q) block of
-    # a [B*Hq, Sq] array does NOT lower
-    lse2 = _pad_dim(lse, 1, block_q)[:, None, :]
+    # a [B*Hq, Sq] array does NOT lower. lse arrives padded at the FORWARD's
+    # block size, which may differ (causal fwd prefers 256-row q tiles) —
+    # re-pad from the true length
+    lse2 = _pad_dim(lse[:, :sq_orig], 1, block_q)[:, None, :]
     delta2 = _pad_dim(delta, 1, block_q)[:, None, :]
     sq, skv = q2.shape[1], k2.shape[1]
     nq, nk = sq // block_q, skv // block_k
@@ -610,6 +612,12 @@ def _flash(q, k, v, causal, scale, block_q, block_k, layout, kv_valid):
 
 
 def _flash_fwd(q, k, v, causal, scale, block_q, block_k, layout, kv_valid):
+    # under AD the whole fwd+bwd pipeline prefers the larger tiles (the
+    # 256-row causal q tiles that win for inference regressed the train
+    # step; measured 4.24 -> 3.6-3.9 samples/s)
+    if causal:
+        block_q = max(block_q, DEFAULT_BLOCK_Q)
+        block_k = max(block_k, DEFAULT_BLOCK_K)
     out, lse = _fwd(
         q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k,
         with_lse=True, layout=layout, kv_valid=kv_valid,
@@ -618,7 +626,12 @@ def _flash_fwd(q, k, v, causal, scale, block_q, block_k, layout, kv_valid):
 
 
 def _flash_bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout):
-    return _bwd(causal, scale, block_q, block_k, layout, kv_valid, residuals, dout)
+    # the backward prefers the larger default tiles even when the causal
+    # forward ran 256-row q blocks (finer bwd grids regressed the train
+    # step 4.24 -> 3.63 samples/s; measured)
+    bq = max(block_q, DEFAULT_BLOCK_Q) if causal else block_q
+    bk = max(block_k, DEFAULT_BLOCK_K) if causal else block_k
+    return _bwd(causal, scale, bq, bk, layout, kv_valid, residuals, dout)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -795,6 +808,9 @@ def _flash_qkv(qkv, hq, hkv, causal, scale, block_q, block_k, kv_valid):
 
 
 def _flash_qkv_fwd(qkv, hq, hkv, causal, scale, block_q, block_k, kv_valid):
+    if causal:  # see _flash_fwd
+        block_q = max(block_q, DEFAULT_BLOCK_Q)
+        block_k = max(block_k, DEFAULT_BLOCK_K)
     out, lse = _fwd_qkv(
         qkv, hq, hkv, causal=causal, scale=scale, block_q=block_q,
         block_k=block_k, with_lse=True, kv_valid=kv_valid,
@@ -810,8 +826,10 @@ def _flash_qkv_bwd(hq, hkv, causal, scale, block_q, block_k, kv_valid,
     q = qkv[:, :hq]
     k = qkv[:, hq : hq + hkv]
     v = qkv[:, hq + hkv :]
+    bq = max(block_q, DEFAULT_BLOCK_Q) if causal else block_q
+    bk = max(block_k, DEFAULT_BLOCK_K) if causal else block_k
     dq, dk, dv = _bwd(
-        causal, scale, block_q, block_k, "bhsd", kv_valid,
+        causal, scale, bq, bk, "bhsd", kv_valid,
         (q, k, v, out, lse), dout,
     )
     return (jnp.concatenate([dq, dk, dv], axis=1),)
