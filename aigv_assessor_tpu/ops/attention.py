@@ -14,7 +14,6 @@ what the Pallas kernel does on-chip.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

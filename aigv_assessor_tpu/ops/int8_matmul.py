@@ -15,8 +15,6 @@ dequantizes in VMEM right before the MXU dot.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
