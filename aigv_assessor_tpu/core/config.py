@@ -300,6 +300,17 @@ class AssessorConfig:
         d = dict(d)
         if "vision_config" in d:
             d["vision"] = VisionConfig.from_dict(d.pop("vision_config"))
+        if "motion_config" in d:
+            # extension field: reference checkpoints carry no SlowFast config
+            # (it comes from torch hub at R50 scale, the MotionConfig default);
+            # non-default scales (tests, small deployments) serialize it here
+            md = d.pop("motion_config")
+            md = {
+                k: tuple(v) if isinstance(v, list) else v for k, v in md.items()
+            }
+            d["motion"] = MotionConfig(**_filter_kwargs(MotionConfig, md))
+        if isinstance(d.get("score_head_dims"), list):
+            d["score_head_dims"] = tuple(d["score_head_dims"])
         if "llm_config" in d:
             llm_d = d.pop("llm_config")
             archs = llm_d.get("architectures") or [llm_d.get("architecture", "")]

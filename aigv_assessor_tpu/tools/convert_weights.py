@@ -24,20 +24,73 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 import re
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from aigv_assessor_tpu.core.config import AssessorConfig
 
 
+def resolve_checkpoint_files(path: str) -> List[str]:
+    """Resolve a checkpoint directory (or single file) to the weight files.
+
+    Real InternVL2 checkpoints ship as sharded safetensors with an index —
+    `model-0000x-of-0000y.safetensors` + `model.safetensors.index.json`
+    (loaded by the reference via HF `from_pretrained`,
+    `/root/reference/internvl/train/internvl/train/stage1_train.py:819-820`).
+    Resolution order matches HF: safetensors index, bin index, single
+    `model.safetensors` / `pytorch_model.bin`, then globbed shards.
+    """
+    if not os.path.isdir(path):
+        return [path]
+    for idx_name in (
+        "model.safetensors.index.json",
+        "pytorch_model.bin.index.json",
+    ):
+        idx = os.path.join(path, idx_name)
+        if os.path.exists(idx):
+            with open(idx) as f:
+                weight_map = json.load(f)["weight_map"]
+            return [os.path.join(path, s) for s in sorted(set(weight_map.values()))]
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            return [p]
+    shards = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if shards:
+        return shards
+    shards = sorted(
+        glob.glob(os.path.join(path, "pytorch_model*.bin"))
+        + glob.glob(os.path.join(path, "*.pth"))
+    )
+    if shards:
+        return shards
+    raise FileNotFoundError(f"no checkpoint weights found under {path}")
+
+
 def load_torch_state_dict(paths) -> Dict[str, np.ndarray]:
+    """Read torch `.bin`/`.pth` shards and/or `.safetensors` shards (also
+    accepts checkpoint directories, resolved via the HF index convention)."""
     import torch
 
+    if isinstance(paths, str):
+        paths = [paths]
+    files = [f for p in paths for f in resolve_checkpoint_files(p)]
     sd: Dict[str, np.ndarray] = {}
-    for p in paths:
+    for p in files:
+        if p.endswith(".safetensors"):
+            # framework='pt' (not numpy): real checkpoints are bfloat16,
+            # which numpy can't represent — go through torch cpu
+            from safetensors import safe_open
+
+            with safe_open(p, framework="pt") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k).float().numpy()
+            continue
         part = torch.load(p, map_location="cpu", weights_only=True)
         if "state_dict" in part:
             part = part["state_dict"]
@@ -118,7 +171,9 @@ def normalize_hf_llama_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert(sd: Dict[str, np.ndarray], config: AssessorConfig) -> dict:
+def convert(
+    sd: Dict[str, np.ndarray], config: AssessorConfig, strict: bool = False
+) -> dict:
     sd = normalize_peft_keys(sd)
     sd = normalize_hf_llama_keys(sd)
     params: dict = {}
@@ -276,11 +331,18 @@ def convert(sd: Dict[str, np.ndarray], config: AssessorConfig) -> dict:
                 unmapped.append(key)
             elif tgt[1] != "skip":
                 path, op = tgt
-                put(path, v.transpose(2, 3, 4, 1, 0) if op == "conv" else v)
+                put(
+                    f"slowfast_model/{path}",
+                    v.transpose(2, 3, 4, 1, 0) if op == "conv" else v,
+                )
         else:
             unmapped.append(key)
 
     if unmapped:
+        if strict:
+            raise ValueError(
+                f"{len(unmapped)} unmapped checkpoint keys, e.g. {unmapped[:8]}"
+            )
         print(f"WARNING: {len(unmapped)} unmapped keys, e.g. {unmapped[:8]}")
     tree = {"params": params}
     # scan-over-layers models expect the per-layer subtrees stacked under
@@ -362,14 +424,22 @@ def map_slowfast_key(key: str):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--torch_ckpt", nargs="+", required=True)
+    ap.add_argument(
+        "--torch_ckpt", nargs="+", required=True,
+        help="weight files (.bin/.pth/.safetensors) or a checkpoint "
+             "directory (sharded safetensors + index resolved HF-style)",
+    )
     ap.add_argument("--config", required=True, help="reference config.json")
     ap.add_argument("--out", default="params.msgpack")
+    ap.add_argument(
+        "--strict", action="store_true",
+        help="fail (instead of warn) on unmapped checkpoint keys",
+    )
     args = ap.parse_args(argv)
 
     config = AssessorConfig.from_json(args.config)
     sd = load_torch_state_dict(args.torch_ckpt)
-    params = convert(sd, config)
+    params = convert(sd, config, strict=args.strict)
 
     from flax import serialization
 

@@ -12,77 +12,9 @@ from aigv_assessor_tpu.core.config import AssessorConfig
 from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.models.assessor import AIGVAssessor
 from aigv_assessor_tpu.tools.convert_weights import convert
-
-
-def tiny_torch_state_dict(cfg: AssessorConfig, rng):
-    """Reference-named tensors for the tiny config (ViT 2 layers, LLM 2
-    layers, projectors, score head)."""
-    v, l = cfg.vision, cfg.llm
-    sd = {}
-
-    def r(*shape):
-        return rng.normal(size=shape).astype(np.float32)
-
-    # ---- vision ----
-    sd["vision_model.embeddings.class_embedding"] = r(1, 1, v.hidden_size)
-    sd["vision_model.embeddings.position_embedding"] = r(
-        1, v.num_patches + 1, v.hidden_size
-    )
-    sd["vision_model.embeddings.patch_embedding.weight"] = r(
-        v.hidden_size, 3, v.patch_size, v.patch_size
-    )
-    sd["vision_model.embeddings.patch_embedding.bias"] = r(v.hidden_size)
-    for i in range(v.num_hidden_layers):
-        p = f"vision_model.encoder.layers.{i}."
-        sd[p + "attn.qkv.weight"] = r(3 * v.hidden_size, v.hidden_size)
-        sd[p + "attn.qkv.bias"] = r(3 * v.hidden_size)
-        sd[p + "attn.proj.weight"] = r(v.hidden_size, v.hidden_size)
-        sd[p + "attn.proj.bias"] = r(v.hidden_size)
-        sd[p + "mlp.fc1.weight"] = r(v.intermediate_size, v.hidden_size)
-        sd[p + "mlp.fc1.bias"] = r(v.intermediate_size)
-        sd[p + "mlp.fc2.weight"] = r(v.hidden_size, v.intermediate_size)
-        sd[p + "mlp.fc2.bias"] = r(v.hidden_size)
-        sd[p + "norm1.weight"] = r(v.hidden_size)
-        sd[p + "norm1.bias"] = r(v.hidden_size)
-        sd[p + "norm2.weight"] = r(v.hidden_size)
-        sd[p + "norm2.bias"] = r(v.hidden_size)
-        sd[p + "ls1"] = r(v.hidden_size)
-        sd[p + "ls2"] = r(v.hidden_size)
-    # ---- llm (interleaved wqkv like the reference checkpoint) ----
-    sd["language_model.model.tok_embeddings.weight"] = r(l.vocab_size, l.hidden_size)
-    sd["language_model.model.norm.weight"] = r(l.hidden_size)
-    sd["language_model.output.weight"] = r(l.vocab_size, l.hidden_size)
-    for i in range(l.num_hidden_layers):
-        p = f"language_model.model.layers.{i}."
-        g = l.num_key_value_groups
-        sd[p + "attention.wqkv.weight"] = r(
-            l.num_key_value_heads * (g + 2) * l.head_dim, l.hidden_size
-        )
-        sd[p + "attention.wo.weight"] = r(l.hidden_size, l.hidden_size)
-        sd[p + "feed_forward.w1.weight"] = r(l.intermediate_size, l.hidden_size)
-        sd[p + "feed_forward.w3.weight"] = r(l.intermediate_size, l.hidden_size)
-        sd[p + "feed_forward.w2.weight"] = r(l.hidden_size, l.intermediate_size)
-        sd[p + "attention_norm.weight"] = r(l.hidden_size)
-        sd[p + "ffn_norm.weight"] = r(l.hidden_size)
-    # ---- projectors + score head ----
-    vit4 = v.hidden_size * 4
-    sd["mlp1.0.weight"] = r(vit4)
-    sd["mlp1.0.bias"] = r(vit4)
-    sd["mlp1.1.weight"] = r(l.hidden_size, vit4)
-    sd["mlp1.1.bias"] = r(l.hidden_size)
-    sd["mlp1.3.weight"] = r(l.hidden_size, l.hidden_size)
-    sd["mlp1.3.bias"] = r(l.hidden_size)
-    sd["motion_mlp.0.weight"] = r(cfg.motion.feature_dim)
-    sd["motion_mlp.0.bias"] = r(cfg.motion.feature_dim)
-    sd["motion_mlp.1.weight"] = r(l.hidden_size, cfg.motion.feature_dim)
-    sd["motion_mlp.1.bias"] = r(l.hidden_size)
-    sd["motion_mlp.3.weight"] = r(l.hidden_size, l.hidden_size)
-    sd["motion_mlp.3.bias"] = r(l.hidden_size)
-    dims = (cfg.llm.hidden_size,) + cfg.score_head_dims
-    for i in range(len(cfg.score_head_dims)):
-        sd[f"mlpscore.fc{i + 1}.weight"] = r(dims[i + 1], dims[i])
-        sd[f"mlpscore.fc{i + 1}.bias"] = r(dims[i + 1])
-    return sd
+from aigv_assessor_tpu.tools.make_synthetic_ckpt import (
+    reference_state_dict as tiny_torch_state_dict,
+)
 
 
 class TestConverter:
