@@ -140,7 +140,8 @@ class AIGVAssessor(nn.Module):
             from aigv_assessor_tpu.models.phi3 import Phi3ForCausalLM
 
             self.language_model = Phi3ForCausalLM(
-                cfg.llm, self.precision, lora=llm_lora, name="language_model"
+                cfg.llm, self.precision, lora=llm_lora, remat=self.remat,
+                name="language_model",
             )
         else:
             self.language_model = InternLM2ForCausalLM(
@@ -281,6 +282,66 @@ class AIGVAssessor(nn.Module):
         elif ce is not None:
             out["loss"] = ce
         return out
+
+    def score_perspectives(
+        self,
+        input_ids: jnp.ndarray,  # [B, P, N] — P perspective prompts/video
+        pixel_values: jnp.ndarray,  # [B, T, H, W, 3]
+        attention_mask: Optional[jnp.ndarray] = None,  # [B, P, N]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Score P perspective prompts per video off ONE shared frame encode.
+
+        The reference realizes its "4 perspectives" (`README.md:55`) as four
+        SEPARATE full eval runs (`shell/train/stage2_train.sh:13`
+        `export number=1`; SURVEY §0) — re-encoding the identical 8 frames
+        + motion clip each time, although only the question text differs.
+        Here the ViT encode + SlowFast motion run once per video (~54 of
+        103 ms/video at 2B scale, BENCH_NOTES.md) and the P prompts batch
+        through the LLM against the shared embeddings. Returns [B, P] fp32.
+        """
+        cfg = self.config
+        assert cfg.stage >= 2, "perspective scoring needs the stage-2 head"
+        b, p, n = input_ids.shape
+        t = pixel_values.shape[1]
+        frames = pixel_values.reshape((b * t,) + pixel_values.shape[2:])
+        vit_embeds = self.extract_feature(frames, deterministic)  # ONCE
+        c = vit_embeds.shape[-1]
+        vit_embeds = vit_embeds.reshape(b, -1, c)
+        motion_embeds = self.extract_motion(pixel_values)  # [B, C] — ONCE
+
+        ids_flat = input_ids.reshape(b * p, n)
+        input_embeds = self.language_model.embed(ids_flat)
+        # tile shared embeds across the perspective dim ([B,P,...] -> [B*P,...]);
+        # one bounded HBM copy vs P-1 redundant ViT encodes
+        vit_tiled = jnp.repeat(vit_embeds, p, axis=0)
+        motion_tiled = jnp.repeat(motion_embeds, p, axis=0)
+        input_embeds = splice_image_embeds(
+            input_embeds,
+            ids_flat,
+            vit_tiled,
+            cfg.img_context_token_id,
+            motion_tiled,
+        )
+
+        mask_flat = (
+            attention_mask.reshape(b * p, n) if attention_mask is not None else None
+        )
+        _, hidden, _ = self.language_model(
+            inputs_embeds=input_embeds,
+            attention_mask=mask_flat,
+            deterministic=deterministic,
+            with_logits=False,  # score-only: skip the fp32 LM head
+        )
+        if mask_flat is not None:
+            real_len = mask_flat.astype(jnp.int32).sum(axis=1)
+            idx = jnp.clip(real_len + cfg.score_readout_pos, 0, hidden.shape[1] - 1)
+            readout = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0, :]
+        else:
+            readout = hidden[:, cfg.score_readout_pos, :]
+        readout = jnp.nan_to_num(readout, nan=0.0, posinf=1e9, neginf=-1e9)
+        score = self.mlpscore(readout)[:, 0].astype(jnp.float32)
+        return score.reshape(b, p)
 
     # ------------------------------------------------------------ decoding --
 

@@ -33,7 +33,11 @@ from jax import lax
 from aigv_assessor_tpu.core.config import LLMConfig, LoRAConfig
 from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.models.lora import LoRADense
-from aigv_assessor_tpu.ops.attention import fused_qkv_attention, multi_head_attention
+from aigv_assessor_tpu.ops.attention import (
+    fused_qkv_attention,
+    multi_head_attention,
+    two_part_cached_attention,
+)
 from aigv_assessor_tpu.ops.norms import rms_norm
 from aigv_assessor_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -157,63 +161,25 @@ class InternLM2Attention(nn.Module):
 
         new_cache = None
         if cache_k is not None:
-            # Two-part softmax over (read-only old cache) + (current block):
-            # the cache is never copied here — the CALLER writes the returned
-            # new k/v rows at [cache_index, cache_index + s). The previous
-            # formulation updated and re-emitted the full [B, max_len, Hkv, d]
-            # slice per layer, costing ~400 MB of pure HBM copy per decode
-            # token at 2B scale (measured; see BENCH_NOTES.md).
+            # (read-only old cache) + (current block) with one softmax; the
+            # caller writes the returned new rows into the scan carry (see
+            # ops/attention.py:two_part_cached_attention for why). Single-
+            # token decode on TPU goes through the Pallas kernel, which
+            # reads only each sample's valid cache window (ragged batches).
             new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
-            g = hq // hkv
-            scale = d**-0.5
-            qg = q.reshape(b, s, hkv, g, d)
-            neg = jnp.float32(-1e30)
+            from aigv_assessor_tpu.ops.decode_attention import (
+                cached_decode_attention,
+                decode_kernel_supported,
+            )
 
-            lo = jnp.einsum(
-                "bqhgd,bkhd->bhgqk", qg, cache_k,
-                preferred_element_type=jnp.float32,
-            ) * scale  # [B, Hkv, G, s, max_len]
-            slots = jnp.arange(cache_k.shape[1])
-            # slots are fill-ordered: everything before cache_index is past
-            valid_old = (slots[None, :] < cache_index)
-            if kv_mask is not None:
-                # left-padded prompts: padded cache slots are never attended
-                # (replaces the reference FA2 unpad path,
-                # modeling_internlm2.py:556-573)
-                valid_old = valid_old & kv_mask
+            if s == 1 and decode_kernel_supported(hq, hkv, d):
+                out = cached_decode_attention(
+                    q, k, v, cache_k, cache_v, cache_index, kv_mask
+                ).astype(x.dtype)
             else:
-                valid_old = jnp.broadcast_to(valid_old, (b, slots.shape[0]))
-            lo = jnp.where(valid_old[:, None, None, None, :], lo, neg)
-
-            ln = jnp.einsum(
-                "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
-            ) * scale  # [B, Hkv, G, s, s]
-            rows = jnp.arange(s)
-            valid_new = (rows[None, :] <= rows[:, None])[None]  # causal
-            if kv_mask is not None:
-                # left-padded prefill: pad columns inside the current block
-                # (slots [cache_index, cache_index+s)) are masked too
-                blk = lax.dynamic_slice_in_dim(kv_mask, cache_index, s, axis=1)
-                valid_new = valid_new & blk[:, None, :]
-            ln = jnp.where(valid_new[:, None, None], ln, neg)
-
-            m = jnp.maximum(
-                jnp.max(lo, axis=-1, keepdims=True),
-                jnp.max(ln, axis=-1, keepdims=True),
-            )
-            po = jnp.exp(lo - m)
-            pn = jnp.exp(ln - m)
-            denom = po.sum(-1, keepdims=True) + pn.sum(-1, keepdims=True)
-            po = (po / denom).astype(cache_v.dtype)
-            pn = (pn / denom).astype(v.dtype)
-            ctx = jnp.einsum(
-                "bhgqk,bkhd->bqhgd", po, cache_v,
-                preferred_element_type=jnp.float32,
-            ) + jnp.einsum(
-                "bhgqk,bkhd->bqhgd", pn, v,
-                preferred_element_type=jnp.float32,
-            )
-            out = ctx.reshape(b, s, hq, d).astype(x.dtype)
+                out = two_part_cached_attention(
+                    q, k, v, cache_k, cache_v, cache_index, kv_mask
+                ).astype(x.dtype)
         else:
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
@@ -302,6 +268,85 @@ class InternLM2DecoderLayer(nn.Module):
             deterministic,
         )
         return x + mlp_out, new_cache
+
+
+def apply_decoder_layers(
+    layers,
+    num_layers: int,
+    scan_layers: bool,
+    x,
+    cos,
+    sin,
+    position_ids,
+    attention_mask,
+    cache: Optional[KVCache],
+    kv_mask,
+    deterministic: bool,
+):
+    """Run a decoder-layer stack (scan-over-layers or unrolled loop) with the
+    KV cache riding the scan CARRY.
+
+    Shared by the InternLM2 and Phi-3 backbones: one traced layer under
+    `nn.scan` (compile O(1) in depth), and at decode the cache is updated in
+    place on the carry — the layer returns only its NEW k/v rows, written
+    back here at [i, :, cache_index, ...]. Returns (x, new_k, new_v).
+    """
+    ci = cache.index if cache is not None else None
+    if scan_layers:
+        scan_kw = dict(
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            length=num_layers,
+        )
+        if cache is None:
+            def body(layer, carry, i):
+                y, _ = layer(
+                    carry, cos, sin, position_ids, attention_mask,
+                    None, None, None, kv_mask, deterministic,
+                )
+                return y, None
+
+            x, _ = nn.scan(body, **scan_kw)(layers, x, jnp.arange(num_layers))
+            return x, None, None
+
+        def body(layer, carry, i):
+            y, ck_all, cv_all = carry
+            ck = lax.dynamic_index_in_dim(ck_all, i, 0, keepdims=False)
+            cv = lax.dynamic_index_in_dim(cv_all, i, 0, keepdims=False)
+            y, new = layer(
+                y, cos, sin, position_ids, attention_mask,
+                ck, cv, ci, kv_mask, deterministic,
+            )
+            kn, vn = new
+            ck_all = lax.dynamic_update_slice(ck_all, kn[None], (i, 0, ci, 0, 0))
+            cv_all = lax.dynamic_update_slice(cv_all, vn[None], (i, 0, ci, 0, 0))
+            return (y, ck_all, cv_all), None
+
+        (x, new_k, new_v), _ = nn.scan(body, **scan_kw)(
+            layers, (x, cache.k, cache.v), jnp.arange(num_layers)
+        )
+        return x, new_k, new_v
+
+    new_k = cache.k if cache is not None else None
+    new_v = cache.v if cache is not None else None
+    for i, layer in enumerate(layers):
+        ck = new_k[i] if cache is not None else None
+        cv = new_v[i] if cache is not None else None
+        x, layer_cache = layer(
+            x, cos, sin, position_ids, attention_mask, ck, cv, ci,
+            kv_mask, deterministic,
+        )
+        if layer_cache is not None:
+            kn, vn = layer_cache
+            new_k = lax.dynamic_update_slice(
+                new_k, kn[None].astype(new_k.dtype), (i, 0, ci, 0, 0)
+            )
+            new_v = lax.dynamic_update_slice(
+                new_v, vn[None].astype(new_v.dtype), (i, 0, ci, 0, 0)
+            )
+    return x, new_k, new_v
 
 
 class InternLM2ForCausalLM(nn.Module):
@@ -406,74 +451,11 @@ class InternLM2ForCausalLM(nn.Module):
         )
 
         x = inputs_embeds.astype(self.precision.compute_dtype)
-        ci = cache.index if cache is not None else None
-        cfg = self.config
-        if cfg.scan_layers:
-            scan_kw = dict(
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                in_axes=0,
-                out_axes=0,
-                length=cfg.num_hidden_layers,
-            )
-            if cache is None:
-                def body(layer, carry, i):
-                    y, _ = layer(
-                        carry, cos, sin, position_ids, attention_mask,
-                        None, None, None, kv_mask, deterministic,
-                    )
-                    return y, None
-
-                x, _ = nn.scan(body, **scan_kw)(
-                    self.layers, x, jnp.arange(cfg.num_hidden_layers)
-                )
-                new_k = new_v = None
-            else:
-                # cache rides the carry: scan carries alias in place, and the
-                # layer returns only its NEW k/v rows, written back here at
-                # [i, :, cache_index, ...] — per token the cache costs one
-                # read of the attended slots plus an s-row write, not a
-                # full-slice copy
-                def body(layer, carry, i):
-                    y, ck_all, cv_all = carry
-                    ck = lax.dynamic_index_in_dim(ck_all, i, 0, keepdims=False)
-                    cv = lax.dynamic_index_in_dim(cv_all, i, 0, keepdims=False)
-                    y, new = layer(
-                        y, cos, sin, position_ids, attention_mask,
-                        ck, cv, ci, kv_mask, deterministic,
-                    )
-                    kn, vn = new
-                    ck_all = lax.dynamic_update_slice(
-                        ck_all, kn[None], (i, 0, ci, 0, 0)
-                    )
-                    cv_all = lax.dynamic_update_slice(
-                        cv_all, vn[None], (i, 0, ci, 0, 0)
-                    )
-                    return (y, ck_all, cv_all), None
-
-                (x, new_k, new_v), _ = nn.scan(body, **scan_kw)(
-                    self.layers,
-                    (x, cache.k, cache.v),
-                    jnp.arange(cfg.num_hidden_layers),
-                )
-        else:
-            new_k = cache.k if cache is not None else None
-            new_v = cache.v if cache is not None else None
-            for i, layer in enumerate(self.layers):
-                ck = new_k[i] if cache is not None else None
-                cv = new_v[i] if cache is not None else None
-                x, layer_cache = layer(
-                    x, cos, sin, position_ids, attention_mask, ck, cv, ci,
-                    kv_mask, deterministic,
-                )
-                if layer_cache is not None:
-                    kn, vn = layer_cache
-                    new_k = lax.dynamic_update_slice(
-                        new_k, kn[None].astype(new_k.dtype), (i, 0, ci, 0, 0)
-                    )
-                    new_v = lax.dynamic_update_slice(
-                        new_v, vn[None].astype(new_v.dtype), (i, 0, ci, 0, 0)
-                    )
+        x, new_k, new_v = apply_decoder_layers(
+            self.layers, cfg.num_hidden_layers, cfg.scan_layers,
+            x, cos, sin, position_ids, attention_mask, cache, kv_mask,
+            deterministic,
+        )
 
         hidden = self.norm(x)
         # score-only serving skips the [*, vocab] fp32 head entirely: at 2B

@@ -1,4 +1,4 @@
-"""Phi-3 decoder (alternative LLM backbone).
+"""Phi-3 decoder (alternative LLM backbone), first-class like InternLM2.
 
 Behavioral port of `/root/reference/internvl/model/phi3/modeling_phi3.py`
 (selectable in the composite model via `llm_config.architectures`, reference
@@ -10,9 +10,18 @@ Behavioral port of `/root/reference/internvl/model/phi3/modeling_phi3.py`
 - RMSNorm, SwiGLU (silu(gate) * up -> down_proj);
 - RoPE with optional 'su'/'longrope' scaling: separate short/long inv-freq
   factor tables and the sqrt(1 + log(s)/log(orig_max)) attention scaling
-  (reference Phi3SuScaledRotaryEmbedding);
-- same fixed-capacity KV-cache/flash-attention plumbing as the InternLM2
-  module (shared ops).
+  (reference Phi3SuScaledRotaryEmbedding).
+
+TPU-first structure (shared with the InternLM2 module):
+- scan-over-layers (`apply_decoder_layers`): one traced layer, params
+  stacked [L, ...], compile time O(1) in depth; the KV cache rides the scan
+  CARRY so decode writes only the new rows in place (no per-layer
+  full-cache copy — the bug class measured at ~400 MB/token in
+  BENCH_NOTES.md).
+- head-major fused-qkv fast path for the no-cache forward (projection emits
+  [B, H, S, D]; the Pallas flash kernel reads q/k/v as BlockSpec views).
+- two-part cached attention (read-only cache + current block, one softmax).
+- optional per-layer remat (reference `--grad_checkpoint`).
 """
 
 from __future__ import annotations
@@ -27,9 +36,17 @@ import numpy as np
 
 from aigv_assessor_tpu.core.precision import Precision
 from aigv_assessor_tpu.core.config import LoRAConfig
-from aigv_assessor_tpu.models.internlm2 import KVCache, RMSNorm
+from aigv_assessor_tpu.models.internlm2 import (
+    KVCache,
+    RMSNorm,
+    apply_decoder_layers,
+)
 from aigv_assessor_tpu.models.lora import LoRADense
-from aigv_assessor_tpu.ops.attention import multi_head_attention
+from aigv_assessor_tpu.ops.attention import (
+    fused_qkv_attention,
+    multi_head_attention,
+    two_part_cached_attention,
+)
 from aigv_assessor_tpu.ops.rope import apply_rope
 
 
@@ -61,6 +78,9 @@ class Phi3Config:
     bos_token_id: int = 1
     eos_token_id: int = 32000
     pad_token_id: int = 32000
+    # scan-over-layers (see LLMConfig.scan_layers): stacked [L, ...] params,
+    # one traced layer, cache on the scan carry
+    scan_layers: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -141,10 +161,41 @@ class Phi3Attention(nn.Module):
         cfg = self.config
         b, s, c = x.shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+        # head-major fast path for the training/scoring forward (no cache):
+        # same structure as InternLM2Attention — the projection emits
+        # [B, H, S, D] so the flash kernel needs no relayout copy
+        fast = cache_k is None and not self.precision.int8_weights and s >= 8
+        if fast:
+            qkv = LoRADense(
+                (hq + 2 * hkv) * d,
+                dtype=self.precision.compute_dtype,
+                lora=self.lora,
+                head_major=hq + 2 * hkv,
+                name="qkv_proj",
+            )(x, deterministic)  # [B, hq+2*hkv, S, d]
+            q = qkv[:, :hq]
+            k = qkv[:, hq : hq + hkv]
+            q, k = apply_rope(q, k, cos, sin, position_ids, layout="bhsd")
+            if attention_mask is not None and attention_mask.ndim == 3:
+                out = multi_head_attention(
+                    q, k, qkv[:, hq + hkv :], causal=True,
+                    mask=attention_mask, impl="xla", layout="bhsd",
+                )
+            else:
+                qkv = jnp.concatenate([q, k, qkv[:, hq + hkv :]], axis=1)
+                out = fused_qkv_attention(qkv, hq, hkv, causal=True)
+            out = LoRADense(
+                c, dtype=self.precision.compute_dtype, lora=self.lora,
+                head_major_in=True, name="o_proj",
+            )(out, deterministic)
+            return out, None
+
         qkv = LoRADense(
             (hq + 2 * hkv) * d,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            int8=self.precision.int8_weights,
             name="qkv_proj",
         )(x, deterministic)
         q = qkv[..., : hq * d].reshape(b, s, hq, d)
@@ -154,30 +205,35 @@ class Phi3Attention(nn.Module):
 
         new_cache = None
         if cache_k is not None:
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            # read-only two-part cached attention; the caller (scan carry)
+            # writes the new rows — no per-layer full-cache copy. Single-
+            # token decode on TPU uses the Pallas ragged-window kernel.
+            new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+            from aigv_assessor_tpu.ops.decode_attention import (
+                cached_decode_attention,
+                decode_kernel_supported,
             )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
-            )
-            new_cache = (cache_k, cache_v)
-            max_len = cache_k.shape[1]
-            kv_slot = jnp.arange(max_len)
-            q_row = jnp.arange(s)
-            valid = kv_slot[None, None, :] <= (cache_index + q_row)[None, :, None]
-            valid = jnp.broadcast_to(valid, (b, s, max_len))
-            if kv_mask is not None:
-                valid = valid & kv_mask[:, None, :]
-            out = multi_head_attention(
-                q, cache_k, cache_v, causal=False, mask=valid, impl="xla"
-            )
+
+            if s == 1 and decode_kernel_supported(hq, hkv, d):
+                out = cached_decode_attention(
+                    q, k, v, cache_k, cache_v, cache_index, kv_mask
+                ).astype(x.dtype)
+            else:
+                out = two_part_cached_attention(
+                    q, k, v, cache_k, cache_v, cache_index, kv_mask
+                ).astype(x.dtype)
         else:
-            out = multi_head_attention(q, k, v, causal=True)
+            if attention_mask is not None and attention_mask.ndim == 3:
+                out = multi_head_attention(
+                    q, k, v, causal=True, mask=attention_mask, impl="xla"
+                )
+            else:
+                out = multi_head_attention(q, k, v, causal=True)
         out = out.reshape(b, s, hq * d)
         return (
             LoRADense(
                 c, dtype=self.precision.compute_dtype, lora=self.lora,
-                name="o_proj",
+                int8=self.precision.int8_weights, name="o_proj",
             )(out, deterministic),
             new_cache,
         )
@@ -195,6 +251,7 @@ class Phi3MLP(nn.Module):
             2 * cfg.intermediate_size,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            int8=self.precision.int8_weights,
             name="gate_up_proj",
         )(x, deterministic)
         gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -202,6 +259,7 @@ class Phi3MLP(nn.Module):
             cfg.hidden_size,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            int8=self.precision.int8_weights,
             name="down_proj",
         )(nn.silu(gate) * up, deterministic)
 
@@ -242,6 +300,8 @@ class Phi3ForCausalLM(nn.Module):
     config: Phi3Config
     precision: Precision = Precision()
     lora: Optional[LoRAConfig] = None
+    # per-layer remat (reference `--grad_checkpoint`)
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -252,10 +312,21 @@ class Phi3ForCausalLM(nn.Module):
             param_dtype=jnp.float32,
             name="embed_tokens",
         )
-        self.layers = [
-            Phi3DecoderLayer(cfg, self.precision, self.lora, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+        layer_cls = (
+            nn.remat(Phi3DecoderLayer, static_argnums=(10,), prevent_cse=False)
+            if self.remat
+            else Phi3DecoderLayer
+        )
+        if cfg.scan_layers:
+            # one traced layer with stacked [L, ...] params (see
+            # InternLM2ForCausalLM.setup; scan applied in apply_decoder_layers
+            # so the KV cache rides the carry)
+            self.layers = layer_cls(cfg, self.precision, self.lora, name="layers")
+        else:
+            self.layers = [
+                layer_cls(cfg, self.precision, self.lora, name=f"layers_{i}")
+                for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")
         self.lm_head = nn.Dense(
             cfg.vocab_size,
@@ -293,18 +364,11 @@ class Phi3ForCausalLM(nn.Module):
         cos, sin = phi3_rope_tables(cfg, rope_len)
 
         x = inputs_embeds.astype(self.precision.compute_dtype)
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            ck = cache.k[i] if cache is not None else None
-            cv = cache.v[i] if cache is not None else None
-            ci = cache.index if cache is not None else None
-            x, layer_cache = layer(
-                x, cos, sin, position_ids, attention_mask, ck, cv, ci, kv_mask,
-                deterministic,
-            )
-            if layer_cache is not None:
-                new_k.append(layer_cache[0])
-                new_v.append(layer_cache[1])
+        x, new_k, new_v = apply_decoder_layers(
+            self.layers, cfg.num_hidden_layers, cfg.scan_layers,
+            x, cos, sin, position_ids, attention_mask, cache, kv_mask,
+            deterministic,
+        )
         hidden = self.norm(x)
         logits = (
             self.lm_head(hidden).astype(self.precision.logits_dtype)
@@ -313,7 +377,5 @@ class Phi3ForCausalLM(nn.Module):
         )
         new_cache = None
         if cache is not None:
-            new_cache = KVCache(
-                k=jnp.stack(new_k), v=jnp.stack(new_v), index=cache.index + s
-            )
+            new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
         return logits, hidden, new_cache

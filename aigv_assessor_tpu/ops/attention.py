@@ -135,6 +135,75 @@ def multi_head_attention(
     return out.transpose(0, 2, 1, 3) if layout == "bhsd" else out
 
 
+def two_part_cached_attention(
+    q: jnp.ndarray,  # [B, S, Hq, D] (current block, rope applied)
+    k: jnp.ndarray,  # [B, S, Hkv, D] (current block, rope applied)
+    v: jnp.ndarray,  # [B, S, Hkv, D]
+    cache_k: jnp.ndarray,  # [B, max_len, Hkv, D] (read-only)
+    cache_v: jnp.ndarray,
+    cache_index: jnp.ndarray,  # scalar int32: valid cache rows
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, max_len] bool
+) -> jnp.ndarray:
+    """Decode/prefill attention over (read-only old cache) + (current block)
+    with one softmax spanning both.
+
+    The cache is never copied here — the CALLER writes the new k/v rows at
+    [cache_index, cache_index + s). The naive formulation (update the full
+    [B, max_len, Hkv, d] slice per layer and re-emit it) costs ~400 MB of
+    pure HBM copy per decode token at 2B scale under `nn.scan`, because
+    scanned *outputs* are not aliased while scan *carries* are
+    (BENCH_NOTES.md decode section). Replaces the reference's FA2 varlen
+    decode path (`modeling_internlm2.py:444-614`).
+    """
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    scale = d**-0.5
+    qg = q.reshape(b, s, hkv, g, d)
+    neg = jnp.float32(-1e30)
+
+    lo = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, cache_k, preferred_element_type=jnp.float32
+    ) * scale  # [B, Hkv, G, s, max_len]
+    slots = jnp.arange(cache_k.shape[1])
+    # slots are fill-ordered: everything before cache_index is past
+    valid_old = slots[None, :] < cache_index
+    if kv_mask is not None:
+        # left-padded prompts: padded cache slots are never attended
+        valid_old = valid_old & kv_mask
+    else:
+        valid_old = jnp.broadcast_to(valid_old, (b, slots.shape[0]))
+    lo = jnp.where(valid_old[:, None, None, None, :], lo, neg)
+
+    ln = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) * scale  # [B, Hkv, G, s, s]
+    rows = jnp.arange(s)
+    valid_new = (rows[None, :] <= rows[:, None])[None]  # causal
+    if kv_mask is not None:
+        # left-padded prefill: pad columns inside the current block
+        # (slots [cache_index, cache_index+s)) are masked too
+        blk = jax.lax.dynamic_slice_in_dim(kv_mask, cache_index, s, axis=1)
+        valid_new = valid_new & blk[:, None, :]
+    ln = jnp.where(valid_new[:, None, None], ln, neg)
+
+    m = jnp.maximum(
+        jnp.max(lo, axis=-1, keepdims=True),
+        jnp.max(ln, axis=-1, keepdims=True),
+    )
+    po = jnp.exp(lo - m)
+    pn = jnp.exp(ln - m)
+    denom = po.sum(-1, keepdims=True) + pn.sum(-1, keepdims=True)
+    po = (po / denom).astype(cache_v.dtype)
+    pn = (pn / denom).astype(v.dtype)
+    ctx = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", po, cache_v, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bhgqk,bkhd->bqhgd", pn, v, preferred_element_type=jnp.float32
+    )
+    return ctx.reshape(b, s, hq, d).astype(q.dtype)
+
+
 def fused_qkv_attention(
     qkv: jnp.ndarray,  # [B, hq + 2*hkv, S, D] head-major, [q | k | v]
     hq: int,

@@ -122,3 +122,79 @@ class TestComposedPhi3:
         )
         assert cfg.llm.architecture == "Phi3ForCausalLM"
         assert cfg.llm.hidden_size == 64
+
+
+class TestPhi3FirstClass:
+    """Round-3 promotion (VERDICT r2 weak #3): scan-over-layers with the KV
+    cache on the carry, new-rows-only attention output, remat flag."""
+
+    def test_scan_matches_unrolled(self):
+        import dataclasses
+        from aigv_assessor_tpu.utils.stacking import unstack_layer_params
+
+        cfg = Phi3Config.tiny()  # scan_layers=True default
+        assert cfg.scan_layers
+        model = Phi3ForCausalLM(cfg, FP32)
+        ids = jnp.asarray(
+            np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 10))
+        )
+        params = model.init(jax.random.key(1), ids)
+        # stacked param layout: one `layers` node with leading [L] dim
+        lsub = params["params"]["layers"]
+        leaf = jax.tree_util.tree_leaves(lsub)[0]
+        assert leaf.shape[0] == cfg.num_hidden_layers
+
+        logits_scan, _, _ = model.apply(params, ids)
+
+        cfg_u = dataclasses.replace(cfg, scan_layers=False)
+        model_u = Phi3ForCausalLM(cfg_u, FP32)
+        params_u = {"params": unstack_layer_params(params["params"])}
+        logits_unrolled, _, _ = model_u.apply(params_u, ids)
+        np.testing.assert_allclose(
+            np.asarray(logits_scan), np.asarray(logits_unrolled),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_attention_emits_only_new_rows(self):
+        """The cached-attention path must return just the NEW k/v rows (the
+        caller writes them into the scan carry) — re-emitting the full
+        [B, max_len, ...] cache per layer is the ~400 MB/token copy bug
+        (BENCH_NOTES.md decode section)."""
+        from aigv_assessor_tpu.models.phi3 import Phi3Attention
+
+        cfg = Phi3Config.tiny()
+        attn = Phi3Attention(cfg, FP32)
+        b, s, max_len = 2, 1, 16
+        x = jnp.ones((b, s, cfg.hidden_size))
+        cos, sin = phi3_rope_tables(cfg, max_len)
+        pos = jnp.full((b, s), 4, jnp.int32)
+        ck = jnp.zeros((b, max_len, cfg.num_key_value_heads, cfg.head_dim))
+        cv = jnp.zeros_like(ck)
+        variables = attn.init(
+            jax.random.key(0), x, cos, sin, pos,
+            cache_k=ck, cache_v=cv, cache_index=jnp.asarray(4),
+        )
+        _, new_cache = attn.apply(
+            variables, x, cos, sin, pos,
+            cache_k=ck, cache_v=cv, cache_index=jnp.asarray(4),
+        )
+        kn, vn = new_cache
+        assert kn.shape == (b, s, cfg.num_key_value_heads, cfg.head_dim)
+        assert vn.shape == kn.shape
+
+    def test_remat_flag_forward(self):
+        cfg = Phi3Config.tiny()
+        model = Phi3ForCausalLM(cfg, FP32, remat=True)
+        ids = jnp.asarray(
+            np.random.default_rng(5).integers(0, cfg.vocab_size, (1, 8))
+        )
+        params = model.init(jax.random.key(0), ids)
+
+        def loss(p):
+            logits, _, _ = model.apply(p, ids)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0
+        )))
