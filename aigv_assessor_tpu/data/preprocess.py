@@ -46,8 +46,13 @@ class PreprocessedSample:
 def render_conversation(
     template_name: str,
     conversations: Sequence[Dict[str, str]],
+    strip_values: bool = False,
 ) -> str:
-    """[{'from': 'human'|'gpt', 'value': ...}] -> full prompt text."""
+    """[{'from': 'human'|'gpt', 'value': ...}] -> full prompt text.
+
+    `strip_values` mirrors the reference, which strips message values ONLY
+    in `preprocess_internlm` (`dataset.py:621`) — the other three maskers
+    render values verbatim."""
     conv = get_conv_template(template_name)
     roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
     source = list(conversations)
@@ -56,7 +61,8 @@ def render_conversation(
     for j, sentence in enumerate(source):
         role = roles[sentence["from"]]
         assert role == conv.roles[j % 2], "conversation roles must alternate"
-        conv.append_message(role, sentence["value"].strip())
+        value = sentence["value"].strip() if strip_values else sentence["value"]
+        conv.append_message(role, value)
     return conv.get_prompt()
 
 
@@ -81,7 +87,9 @@ def preprocess_internlm(
     ds_name: str = None,
 ) -> List[PreprocessedSample]:
     conv = get_conv_template(template_name)
-    conversations = [render_conversation(template_name, s) for s in sources]
+    conversations = [
+        render_conversation(template_name, s, strip_values=True) for s in sources
+    ]
     if not text_only:
         conversations = [
             expand_image_tokens(c, num_image_token_list) for c in conversations
