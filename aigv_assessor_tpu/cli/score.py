@@ -1,17 +1,26 @@
 """Batch video-scoring CLI (production serving path).
 
 The reference has no dedicated serving entry — scoring runs through the
-bs=1 eval loop (`stage2_eval.py:893-962`). This is the TPU-native batched
-equivalent (BASELINE.md config #3: "fused frame pipeline + ViT encode at
-bs=64 on one chip"): videos stream through the threaded decode pipeline
-(native ffmpeg decoder), batches run one jitted stage-2 forward (score from
-a fixed prompt), results land in a CSV; prints a one-line throughput JSON.
+bs=1 eval loop (`stage2_eval.py:893-962`), and its "4 perspectives"
+(`README.md:55`) are four SEPARATE full runs re-encoding the same frames
+(`shell/train/stage2_train.sh:13`). This is the TPU-native batched
+equivalent (BASELINE.md config #3):
+
+- videos stream through the threaded decode pipeline (native ffmpeg
+  decoder) with a two-chunk prefetch window;
+- host decode overlaps device compute: the score readback for chunk N is
+  deferred until chunk N+1 has been dispatched (double buffering);
+- with multiple `--question` flags, all perspectives are scored in ONE
+  jitted call off a single shared ViT/motion encode
+  (`AIGVAssessor.score_perspectives`);
+- the tail chunk is padded to the compiled batch shape (no tail recompile).
 
 Usage:
   python -m aigv_assessor_tpu.cli.score \
       --model_name_or_path ckpt/ --videos dir_or_jsonl \
       --question "How would you rate the static quality of this video?" \
-      --batch_size 8 --out scores.csv
+      --question "How would you rate the temporal smoothness of this video?" \
+      --batch_size 16 --out scores.csv
 """
 
 from __future__ import annotations
@@ -73,8 +82,12 @@ def main(argv=None):
     ap.add_argument("--model_scale", default="auto",
                     choices=["auto", "tiny", "2b", "8b"])
     ap.add_argument("--videos", required=True)
-    ap.add_argument("--question", default="How would you rate the static quality of this video?")
-    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument(
+        "--question", action="append", default=None,
+        help="repeatable: each occurrence is one scoring perspective; all "
+             "perspectives share one ViT/motion encode per video",
+    )
+    ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--num_segments", type=int, default=8)
     ap.add_argument("--out", default="scores.csv")
     ap.add_argument("--bf16", type=_bool, default=True)
@@ -122,22 +135,38 @@ def main(argv=None):
     image_size = config.force_image_size or config.vision.image_size
 
     videos = list_videos(args.videos)
-    logger.info("scoring %d videos", len(videos))
-    prompt = build_prompt_ids(
-        tokenizer, config.template, args.question, args.num_segments,
-        config.num_image_token,
-    )
-    ids = np.asarray(prompt, np.int32)
+    questions = args.question or [
+        "How would you rate the static quality of this video?"
+    ]
+    n_persp = len(questions)
+    logger.info("scoring %d videos x %d perspectives", len(videos), n_persp)
+
+    # one prompt per perspective, right-padded to a common length so the
+    # whole [B, P, N] batch runs in one compiled program
+    prompts = [
+        build_prompt_ids(
+            tokenizer, config.template, q, args.num_segments,
+            config.num_image_token,
+        )
+        for q in questions
+    ]
+    max_n = max(len(p) for p in prompts)
+    pad_id = tokenizer.pad_token_id
+    ids_pn = np.full((n_persp, max_n), pad_id, np.int32)
+    mask_pn = np.zeros((n_persp, max_n), bool)
+    for i, p in enumerate(prompts):
+        ids_pn[i, : len(p)] = p
+        mask_pn[i, : len(p)] = True
 
     import jax.numpy as jnp
 
     @jax.jit
     def score_batch(params, input_ids, pixel_values, attention_mask):
-        out = model.apply(
-            params, input_ids, pixel_values, attention_mask=attention_mask,
-            with_logits=False,  # score-only: skip the [*, vocab] fp32 head
+        # [B, P, N] prompts share one frame encode per video
+        return model.apply(
+            params, input_ids, pixel_values, attention_mask,
+            method="score_perspectives",
         )
-        return out["score"]
 
     # threaded decode ahead of the device
     from concurrent.futures import ThreadPoolExecutor
@@ -155,27 +184,56 @@ def main(argv=None):
         frames = load_video(path, num_segments=args.num_segments)
         return transform_frames(frames, input_size=image_size)
 
+    bs = args.batch_size
+    chunks = [videos[i : i + bs] for i in range(0, len(videos), bs)]
+    batch_ids = jnp.asarray(np.tile(ids_pn[None], (bs, 1, 1)))
+    batch_mask = jnp.asarray(np.tile(mask_pn[None], (bs, 1, 1)))
+
     rows = []
     t_start = time.perf_counter()
     with ThreadPoolExecutor(args.workers) as pool:
-        for start in range(0, len(videos), args.batch_size):
-            chunk = videos[start : start + args.batch_size]
-            pixels = list(pool.map(load_one, chunk))
-            b = len(chunk)
-            px = np.stack(pixels)
-            batch_ids = np.tile(ids[None], (b, 1))
-            mask = np.ones_like(batch_ids, bool)
-            scores = np.asarray(
-                score_batch(params, jnp.asarray(batch_ids), jnp.asarray(px),
-                            jnp.asarray(mask))
-            )
-            for path, s in zip(chunk, scores):
-                rows.append([path, float(s) * args.mos_scale])
+        # two-chunk prefetch window: decode of chunk N+1/N+2 overlaps the
+        # device compute of chunk N
+        futures = {}
+
+        def submit(ci):
+            if ci < len(chunks) and ci not in futures:
+                futures[ci] = [pool.submit(load_one, p) for p in chunks[ci]]
+
+        submit(0)
+        submit(1)
+
+        def flush(chunk, scores_dev):
+            # deferred device readback (this is the only sync point)
+            scores = np.asarray(scores_dev)  # [bs, P]
+            for j, path in enumerate(chunk):
+                rows.append(
+                    [path] + [float(s) * args.mos_scale for s in scores[j]]
+                )
+
+        pending = None
+        for ci, chunk in enumerate(chunks):
+            pixels = [f.result() for f in futures.pop(ci)]
+            submit(ci + 2)
+            if len(pixels) < bs:  # pad the tail to the compiled shape
+                pixels = pixels + [pixels[-1]] * (bs - len(pixels))
+            px = jnp.asarray(np.stack(pixels))
+            scores_dev = score_batch(params, batch_ids, px, batch_mask)
+            if pending is not None:
+                flush(*pending)
+            pending = (chunk, scores_dev)
+        if pending is not None:
+            flush(*pending)
     elapsed = time.perf_counter() - t_start
 
     with open(args.out, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["video_name", "pred_score"])
+        if n_persp == 1:
+            w.writerow(["video_name", "pred_score"])
+        else:
+            w.writerow(
+                ["video_name"] + [f"pred_score_{i + 1}" for i in range(n_persp)]
+            )
         w.writerows(rows)
     print(
         json.dumps(
@@ -184,6 +242,10 @@ def main(argv=None):
                 "value": round(len(videos) / max(elapsed, 1e-9), 3),
                 "unit": "videos/sec",
                 "n_videos": len(videos),
+                "n_perspectives": n_persp,
+                "perspective_scores_per_sec": round(
+                    len(videos) * n_persp / max(elapsed, 1e-9), 3
+                ),
                 "out": args.out,
             }
         )

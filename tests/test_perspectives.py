@@ -1,0 +1,118 @@
+"""Multi-perspective fused scoring (VERDICT r2 next-round #1).
+
+`AIGVAssessor.score_perspectives` must produce, for every perspective
+prompt, EXACTLY the score the plain stage-2 forward produces when that
+prompt is run alone — the fusion shares the ViT/motion encode, it must not
+change the numbers.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aigv_assessor_tpu.core.config import AssessorConfig
+from aigv_assessor_tpu.core.precision import Precision
+from aigv_assessor_tpu.models.assessor import AIGVAssessor
+
+
+class TestScorePerspectives:
+    def _setup(self):
+        cfg = AssessorConfig.tiny(stage=2).replace(img_context_token_id=4)
+        model = AIGVAssessor(cfg, Precision.fp32())
+        b, p, t, seq = 2, 3, 4, 64
+        rng = np.random.default_rng(0)
+        n_ctx = t * cfg.num_image_token + 1
+        ids = rng.integers(5, cfg.llm.vocab_size, (b, p, seq))
+        ids[:, :, 1 : 1 + n_ctx] = cfg.img_context_token_id
+        mask = np.ones((b, p, seq), bool)
+        # ragged perspective lengths: perspective j loses j trailing tokens
+        for j in range(p):
+            if j:
+                mask[:, j, -j:] = False
+                ids[:, j, -j:] = 0
+        px = rng.normal(size=(b, t, 56, 56, 3)).astype(np.float32)
+        params = model.init(
+            jax.random.key(0),
+            jnp.asarray(ids[:, 0]),
+            jnp.asarray(px),
+            mos=jnp.zeros((b,)),
+        )
+        return cfg, model, params, ids, mask, px
+
+    def test_matches_single_prompt_forward(self):
+        cfg, model, params, ids, mask, px = self._setup()
+        b, p, seq = ids.shape
+
+        fused = model.apply(
+            params,
+            jnp.asarray(ids),
+            jnp.asarray(px),
+            jnp.asarray(mask),
+            method="score_perspectives",
+        )
+        assert fused.shape == (b, p)
+
+        for j in range(p):
+            out = model.apply(
+                params,
+                jnp.asarray(ids[:, j]),
+                jnp.asarray(px),
+                attention_mask=jnp.asarray(mask[:, j]),
+                with_logits=False,
+            )
+            np.testing.assert_allclose(
+                np.asarray(fused[:, j]), np.asarray(out["score"]),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"perspective {j} drifted from the single-prompt path",
+            )
+
+    def test_jit_and_finite(self):
+        cfg, model, params, ids, mask, px = self._setup()
+        fn = jax.jit(
+            lambda pr, i, x, m: model.apply(
+                pr, i, x, m, method="score_perspectives"
+            )
+        )
+        s = fn(params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask))
+        assert np.all(np.isfinite(np.asarray(s)))
+
+
+@pytest.mark.slow
+def test_score_cli_multi_perspective(tmp_path):
+    import csv
+    import json as _json
+
+    from PIL import Image
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        frames = [
+            Image.new("RGB", (64, 48), (int(rng.integers(0, 255)), 30, 60))
+            for _ in range(6)
+        ]
+        frames[0].save(
+            vids / f"clip{i}.gif", save_all=True, append_images=frames[1:],
+            duration=100,
+        )
+
+    from aigv_assessor_tpu.cli import score
+
+    out = tmp_path / "scores.csv"
+    rows = score.main(
+        [
+            "--model_scale", "tiny", "--videos", str(vids),
+            "--question", "How would you rate the static quality of this video?",
+            "--question", "How would you rate the temporal smoothness of this video?",
+            "--batch_size", "2", "--num_segments", "4", "--bf16", "False",
+            "--max_seq_length", "512", "--out", str(out), "--workers", "2",
+        ]
+    )
+    assert len(rows) == 5
+    assert all(len(r) == 3 for r in rows)  # path + 2 perspective scores
+    assert all(np.isfinite(r[1]) and np.isfinite(r[2]) for r in rows)
+    with open(out) as f:
+        header = next(csv.reader(f))
+    assert header == ["video_name", "pred_score_1", "pred_score_2"]
