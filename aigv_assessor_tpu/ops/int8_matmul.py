@@ -100,6 +100,136 @@ def int8_matmul(
     return out[:m, :n]
 
 
+def _int4_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, *, block_k2, k2_total):
+    """W4A16 matmul with in-kernel nibble unpack.
+
+    xe/xo [BM, K/2] bf16 (even / odd rows of the activation's K dim);
+    w [K/2, BN] int8 — each byte packs weight rows (2i, 2i+1) as
+    (lo nibble, hi nibble), the `tools/convert_to_int8.py --bits 4` layout.
+    Because x is pre-split even/odd, the unpacked nibbles are used IN PLACE:
+        y = x_even @ lo + x_odd @ hi
+    — no sublane interleave/relayout of the unpacked weights, just two
+    VPU shifts + casts per byte ahead of two MXU dots. DMA streams 4 bits
+    per weight: a quarter of the bf16 bytes (the decode-binding HBM
+    traffic; bf16 ceiling 217 tok/s at 2B bs=1, BENCH_NOTES.md)."""
+    bm = xe_ref.shape[0]
+    bn = w_ref.shape[1]
+    nk = _cdiv(k2_total, block_k2)
+
+    def body(i, acc):
+        w_blk = w_ref[pl.ds(i * block_k2, block_k2), :]  # packed int8
+        # sign-extended nibbles (arithmetic shifts on the VPU)
+        lo = ((w_blk << 4) >> 4).astype(xe_ref.dtype)
+        hi = (w_blk >> 4).astype(xe_ref.dtype)
+        xe = xe_ref[:, pl.ds(i * block_k2, block_k2)]
+        xo = xo_ref[:, pl.ds(i * block_k2, block_k2)]
+        acc = acc + lax.dot_general(
+            xe, lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc + lax.dot_general(
+            xo, hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = lax.fori_loop(0, nk, body, jnp.zeros((bm, bn), jnp.float32))
+    o_ref[...] = (acc * scale_ref[0, :][None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def int4_matmul(
+    x: jnp.ndarray,  # [M, K] bf16/f32
+    w_packed: jnp.ndarray,  # [ceil(K/2), N] int8 (nibble-packed int4)
+    scale: jnp.ndarray,  # [N] f32 per-output-channel
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,  # in UNPACKED k units
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, k = x.shape
+    k2, n = w_packed.shape
+    assert k2 == _cdiv(k, 2), (k2, k)
+    assert scale.shape == (n,)
+
+    if k % 2:
+        x = jnp.pad(x, ((0, 0), (0, 1)))
+        k += 1
+    # split activations into even/odd K rows to match the nibble layout
+    x3 = x.reshape(m, k // 2, 2)
+    xe, xo = x3[:, :, 0], x3[:, :, 1]
+
+    bm = min(block_m, max(8, _cdiv(m, 8) * 8))
+    bn = min(block_n, _cdiv(n, 128) * 128)
+    bk2 = min(block_k // 2, k2)
+
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        xe = jnp.pad(xe, ((0, m_pad - m), (0, 0)))
+        xo = jnp.pad(xo, ((0, m_pad - m), (0, 0)))
+    n_pad = _cdiv(n, bn) * bn
+    k2_pad = _cdiv(k2, bk2) * bk2
+    if n_pad != n or k2_pad != k2:
+        w_packed = jnp.pad(w_packed, ((0, k2_pad - k2), (0, n_pad - n)))
+        scale = jnp.pad(scale, (0, n_pad - n), constant_values=1.0)
+    if k2_pad != k2:
+        xe = jnp.pad(xe, ((0, 0), (0, k2_pad - k2)))
+        xo = jnp.pad(xo, ((0, 0), (0, k2_pad - k2)))
+    scale2 = scale.reshape(1, n_pad).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, block_k2=bk2, k2_total=k2_pad),
+        grid=(m_pad // bm, n_pad // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k2_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k2_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2_pad, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * 2 * k2_pad,
+            bytes_accessed=2 * xe.size * x.dtype.itemsize
+            + w_packed.size
+            + n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, w_packed, scale2)
+    return out[:m, :n]
+
+
+def int4_dense_apply(
+    x: jnp.ndarray,  # [..., K]
+    kernel_int4: jnp.ndarray,  # [ceil(K/2), N] packed
+    scale: jnp.ndarray,  # [N] f32
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Dense forward over nibble-packed int4 weights (W4A16): pallas on TPU,
+    dequantized XLA matmul elsewhere."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = kernel_int4.shape[1]
+    x2 = x.reshape(-1, k)
+    if _on_tpu():
+        y = int4_matmul(x2, kernel_int4, scale, out_dtype=out_dtype)
+    else:
+        from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_kernel_int4
+        import numpy as np
+
+        w = jnp.asarray(
+            dequantize_kernel_int4(np.asarray(kernel_int4), np.asarray(scale), k)
+        )
+        y = (x2.astype(jnp.float32) @ w.astype(jnp.float32)).astype(out_dtype)
+    return y.reshape(lead + (n,))
+
+
 def quantize_weight(w: jnp.ndarray):
     """[K, N] float -> (int8 [K, N], scale [N]); matches
     tools/convert_to_int8.quantize_kernel."""

@@ -145,3 +145,49 @@ class TestInt4:
         back = traverse_util.flatten_dict(dequantize_tree(qt))
         assert ("language_model", "w", "kernel") in back
         assert back[("language_model", "w", "kernel")].shape == (64, 48)
+
+
+class TestInt4Kernel:
+    """W4A16 pallas kernel: in-kernel nibble unpack (interpret mode)."""
+
+    @pytest.mark.parametrize("m,k,n", [(8, 64, 128), (16, 130, 256), (1, 128, 384)])
+    def test_matches_dequantized_reference(self, m, k, n):
+        from aigv_assessor_tpu.ops.int8_matmul import int4_matmul
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_kernel_int4,
+            quantize_kernel_int4,
+        )
+
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(k, n)).astype(np.float32)
+        x = rng.normal(size=(m, k)).astype(np.float32)
+        packed, scale = quantize_kernel_int4(w)
+        w_deq = dequantize_kernel_int4(packed, scale, k)
+        ref = x @ w_deq
+
+        got = int4_matmul(
+            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+            block_k=64, out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    def test_dense_apply_cpu_fallback(self):
+        from aigv_assessor_tpu.ops.int8_matmul import int4_dense_apply
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_kernel_int4,
+            quantize_kernel_int4,
+        )
+
+        rng = np.random.default_rng(1)
+        k, n = 96, 160
+        w = rng.normal(size=(k, n)).astype(np.float32)
+        x = rng.normal(size=(2, 3, k)).astype(np.float32)
+        packed, scale = quantize_kernel_int4(w)
+        got = int4_dense_apply(
+            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+            out_dtype=jnp.float32,
+        )
+        ref = x.reshape(-1, k) @ dequantize_kernel_int4(packed, scale, k)
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(-1, n), ref, rtol=2e-4, atol=2e-4
+        )
