@@ -681,7 +681,7 @@ def flash_attention(
 # ---------------------------------------------------- fused-qkv entry -------
 
 
-def _fused_specs(b, ht, hq, hkv, sq, skv, d, block_q, hp):
+def _fused_specs(ht, hq, hkv, skv, d, block_q, hp):
     """BlockSpecs viewing q/k/v inside ONE fused [B*Ht, S, D] array
     (Ht = hq + 2*hkv, heads ordered [q | k | v] as the projection emits
     them): three aliased views of the projection output, zero slice copies.
@@ -690,11 +690,7 @@ def _fused_specs(b, ht, hq, hkv, sq, skv, d, block_q, hp):
     g = hq // hkv
 
     if hp == 2:  # MHA: two q heads per program
-        hq2, ht2 = hq // 2, ht  # block units of hp rows
-
-        def q_map(bh, qi):
-            bi, t = bh // hq2, bh % hq2
-            return bi * (ht // 2), qi, 0  # placeholder; corrected below
+        hq2 = hq // 2
 
         # block index counts in units of hp rows: row b*ht + 2t -> block
         # b*(ht//2) + t
@@ -751,9 +747,7 @@ def _fwd_qkv(
     nq = sq // block_q
 
     hp = 2 if (hq == hkv and hq % 2 == 0 and ht % 2 == 0) else 1
-    q_spec, k_spec, v_spec = _fused_specs(
-        b, ht, hq, hkv, sq, sq, d, block_q, hp
-    )
+    q_spec, k_spec, v_spec = _fused_specs(ht, hq, hkv, sq, d, block_q, hp)
     out_specs = [
         pl.BlockSpec(
             (hp, block_q, d), lambda bh, qi: (bh, qi, 0),

@@ -4,30 +4,36 @@ Headline metric (BASELINE.json north star): one jitted forward of the
 composite model — ViT-300M encode of 8 frames + SlowFast motion + InternLM2
 teacher-forced pass + mlpscore read-out — at the InternVL2-2B scale
 (ViT-300M + InternLM2-1.8B), seq 2113, bf16, score-only serving path
-(with_logits=False). A secondary ViT-encode metric (BASELINE.md config #3)
-is reported as extra fields on the same JSON line.
+(with_logits=False). Extra fields on the same JSON line:
 
-vs_baseline: the reference publishes NO numbers (BASELINE.md). The
-comparison point is an analytic A100 estimate with the same methodology as
-the per-metric notes in BENCH_NOTES.md:
-- full pipeline: ~15 TFLOP/video at the 2B scale (8x0.71 TFLOP ViT + 7.6
-  TFLOP LLM dense + ~1.7 TFLOP attention/motion); at a generous 45% bf16 MFU
-  on A100 (312 TFLOP/s peak) -> 312*0.45/15 = 9.36 videos/s. (The actual
-  reference eval loop is bs=1 HF torch, which would do far worse; 45% batched
-  MFU is the strongest defensible A100 number.)
-- ViT encode: ~0.71 TFLOP/frame at 45% MFU -> 198 frames/s.
+- `perspectives_scored_per_sec_chip` + `fused_speedup_vs_4x`: the
+  4-perspective fused path (`AIGVAssessor.score_perspectives`, one shared
+  ViT/motion encode per video) vs 4x the single-perspective cost — the
+  reference runs 4 SEPARATE full evals for its "4 perspectives"
+  (`shell/train/stage2_train.sh:13`, SURVEY §0).
+- `vit_encode_frames_per_sec`: ViT-300M encode at bs=64 (BASELINE #3).
+- `train_samples_per_sec` / `lora_train_samples_per_sec`: stage-1 and
+  stage-2(LoRA) jitted train steps (BASELINE #4/#5 single-chip analogs).
+- `decode_tokens_per_sec`: 2B bs=1 fixed-cache decode loop.
 
-Timing protocol for the axon-tunneled chip: `block_until_ready()` does NOT
-actually sync through the tunnel (measured ~7000 "TFLOP/s" on a 394-peak
-chip), so the timed region ends with a scalar host readback of a value that
-depends on every queued iteration; the readback round-trip is measured
-separately and subtracted. All functions (including the readback reducer)
-are compiled and synced once before timing.
+Timing protocol (medians): the axon-tunneled chip's `block_until_ready`
+does not fence, so every timed region ends in a scalar host readback that
+depends on all queued work; the readback RTT is measured and subtracted.
+Each measurement is a chained in-program loop repeated R times; the
+REPORTED value is the median, with min/max recorded in `spread` (the
+tunnel's run-to-run throughput fluctuates ~2x — BENCH_NOTES.md traps).
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md); the
+comparison is an analytic A100 estimate at a generous 45% MFU
+(312*0.45/15 TFLOP = 9.36 videos/s; ViT 198 frames/s — BENCH_NOTES.md).
+
+Set AIGV_BENCH_FAST=1 to emit only the headline + ViT metrics (~4 min).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -44,37 +50,51 @@ def _is_tpu() -> bool:
     return "tpu" in getattr(jax.devices()[0], "device_kind", "").lower()
 
 
-def _timeit(probe, args, iters):
-    """Chained-iteration timing with readback-RTT subtraction."""
+def _timeit(probe, args, iters, repeats=3):
+    """Chained-iteration timing with readback-RTT subtraction; returns
+    (median_per_iter, [per_iter samples])."""
     s = float(probe(*args))
     assert np.isfinite(s), s
     t0 = time.perf_counter()
     _ = float(probe(*args))
     rtt_plus_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = probe(*args)
-    total = float(out)  # syncs the whole in-order queue
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total)
-    per_iter = (dt - rtt_plus_one) / (iters - 1) if iters > 1 else dt
-    return max(per_iter, 1e-9)
+    samples = []
+    for _r in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = probe(*args)
+        total = float(out)  # syncs the whole in-order queue
+        dt = time.perf_counter() - t0
+        assert np.isfinite(total)
+        per_iter = (dt - rtt_plus_one) / (iters - 1) if iters > 1 else dt
+        samples.append(max(per_iter, 1e-9))
+    return float(np.median(samples)), samples
 
 
-def bench_pipeline(on_tpu: bool):
-    """Flagship: videos scored/sec/chip at 2B scale (tiny on CPU smoke)."""
+def _zero_params_like(shapes):
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(
+            s.shape, s.dtype if s.dtype == jnp.int8 else jnp.bfloat16
+        ),
+        shapes,
+    )
+
+
+def _pipeline_setup(on_tpu: bool, stage: int = 2):
     from aigv_assessor_tpu.cli.common import LLM_2B
     from aigv_assessor_tpu.core.config import AssessorConfig
     from aigv_assessor_tpu.core.precision import Precision
     from aigv_assessor_tpu.models.assessor import AIGVAssessor
 
     if on_tpu:
-        cfg = AssessorConfig(llm=LLM_2B, stage=2).replace(img_context_token_id=7)
-        image, b, t, text_len, iters = 448, 4, 8, 64, 8
+        cfg = AssessorConfig(llm=LLM_2B, stage=stage).replace(
+            img_context_token_id=7
+        )
+        image, b, t, text_len = 448, 4, 8, 64
     else:
-        cfg = AssessorConfig.tiny(stage=2).replace(img_context_token_id=7)
-        image, b, t, text_len, iters = 56, 2, 4, 32, 3
+        cfg = AssessorConfig.tiny(stage=stage).replace(img_context_token_id=7)
+        image, b, t, text_len = 56, 2, 4, 32
 
     model = AIGVAssessor(cfg, Precision())
     n_ctx = t * cfg.num_image_token + 1
@@ -88,8 +108,15 @@ def bench_pipeline(on_tpu: bool):
 
     # zero-init via eval_shape: instant, timing-equivalent for dense matmuls
     shapes = jax.eval_shape(model.init, jax.random.key(0), ids, px)
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes
+    params = _zero_params_like(shapes)
+    return cfg, model, params, ids, px, mask, seq, (b, t, image)
+
+
+def bench_pipeline(on_tpu: bool):
+    """Flagship: videos scored/sec/chip at 2B scale (tiny on CPU smoke).
+    Also returns the per-batch time for the fused-speedup comparison."""
+    cfg, model, params, ids, px, mask, seq, (b, t, image) = _pipeline_setup(
+        on_tpu
     )
 
     @jax.jit
@@ -99,8 +126,33 @@ def bench_pipeline(on_tpu: bool):
         )
         return jnp.sum(out["score"].astype(jnp.float32))
 
-    per_iter = _timeit(probe, (params, ids, px, mask), iters)
-    return b / per_iter, seq
+    iters = 8 if on_tpu else 3
+    per_iter, samples = _timeit(probe, (params, ids, px, mask), iters)
+    return b / per_iter, seq, per_iter / b, samples, (
+        cfg, model, params, ids, px, mask, b,
+    )
+
+
+def bench_perspectives(on_tpu: bool, setup, single_video_time: float):
+    """4-perspective fused scoring off one shared frame encode."""
+    cfg, model, params, ids, px, mask, b = setup
+    p = 4
+    ids_p = jnp.tile(ids[:, None, :], (1, p, 1))
+    mask_p = jnp.tile(mask[:, None, :], (1, p, 1))
+
+    @jax.jit
+    def probe(params, ids_p, px, mask_p):
+        s = model.apply(
+            params, ids_p, px, mask_p, method="score_perspectives"
+        )
+        return jnp.sum(s.astype(jnp.float32))
+
+    iters = 4 if on_tpu else 2
+    per_iter, samples = _timeit(probe, (params, ids_p, px, mask_p), iters)
+    per_video_4p = per_iter / b
+    persp_per_sec = b * p / per_iter
+    speedup_vs_4x = (4.0 * single_video_time) / per_video_4p
+    return persp_per_sec, speedup_vs_4x, samples
 
 
 def bench_vit(on_tpu: bool):
@@ -124,29 +176,201 @@ def bench_vit(on_tpu: bool):
     def probe(params, x):
         return jnp.sum(model.apply(params, x).astype(jnp.float32))
 
-    per_iter = _timeit(probe, (params, x), 20 if on_tpu else 3)
+    per_iter, _ = _timeit(probe, (params, x), 20 if on_tpu else 3)
     return batch / per_iter
+
+
+def bench_train_step(on_tpu: bool, stage: int):
+    """Stage-1 (projector) / stage-2 (LoRA) jitted train step, samples/sec
+    (BASELINE #4/#5 single-chip analogs)."""
+    from aigv_assessor_tpu.cli.common import LLM_2B
+    from aigv_assessor_tpu.core.config import AssessorConfig
+    from aigv_assessor_tpu.core.precision import Precision
+    from aigv_assessor_tpu.models.assessor import AIGVAssessor
+    from aigv_assessor_tpu.train.trainer import TrainConfig, Trainer, microbatch
+
+    if on_tpu:
+        cfg = AssessorConfig(llm=LLM_2B, stage=stage).replace(
+            img_context_token_id=7,
+            use_backbone_lora=8 if stage == 2 else 0,
+            use_llm_lora=8 if stage == 2 else 0,
+        )
+        image, b, t, text_len, iters = 448, 2, 8, 64, 4
+    else:
+        cfg = AssessorConfig.tiny(stage=stage).replace(
+            img_context_token_id=7,
+            use_backbone_lora=2 if stage == 2 else 0,
+            use_llm_lora=2 if stage == 2 else 0,
+        )
+        image, b, t, text_len, iters = 56, 2, 4, 32, 2
+
+    model = AIGVAssessor(cfg, Precision(), remat=True)
+    n_ctx = t * cfg.num_image_token + 1
+    seq = n_ctx + text_len
+    rng = np.random.default_rng(0)
+    ids = rng.integers(10, cfg.llm.vocab_size, (b, seq))
+    ids[:, 1 : 1 + n_ctx] = cfg.img_context_token_id
+    labels = np.full((b, seq), -100)
+    labels[:, -16:] = rng.integers(10, cfg.llm.vocab_size, (b, 16))
+    batch = {
+        "input_ids": ids.astype(np.int32),
+        "labels": labels.astype(np.int32),
+        "attention_mask": np.ones((b, seq), bool),
+        "pixel_values": rng.normal(size=(b, t, image, image, 3)).astype(
+            np.float32
+        ),
+        "mos": rng.uniform(0, 1, (b,)).astype(np.float32),
+    }
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0),
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["pixel_values"]),
+            labels=jnp.asarray(batch["labels"]),
+            mos=jnp.asarray(batch["mos"]),
+        )
+    )
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.float32), shapes
+    )
+    # stage 2: towers frozen, LoRA adapters (from the model config) +
+    # mlpscore trainable (make_trainable_mask handles the partition)
+    tcfg = TrainConfig(
+        learning_rate=1e-4,
+        warmup_ratio=0.0,
+        lr_scheduler_type="constant",
+        grad_checkpoint=True,
+        output_dir="/tmp/aigv_bench_train",
+    )
+    trainer = Trainer(model, params, tcfg, total_steps=64)
+    step = trainer.compiled_step()
+    mb = microbatch(batch, 1)
+    key = jax.random.key(0)
+
+    state = trainer.state
+
+    def probe():
+        nonlocal state
+        t0 = time.perf_counter()
+        s, loss = step(state, mb, key)
+        _ = float(loss)
+        dt0 = time.perf_counter() - t0
+        samples = []
+        for _r in range(3):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(iters):
+                state_i, loss = step(state, mb, key)
+            _ = float(loss)
+            dt = time.perf_counter() - t0
+            samples.append(max((dt - dt0) / max(iters - 1, 1), 1e-9))
+        return float(np.median(samples)), samples
+
+    per_step, samples = probe()
+    return b / per_step, samples
+
+
+def bench_decode(on_tpu: bool):
+    """2B bs=1 fixed-cache decode loop, tokens/sec."""
+    import dataclasses
+
+    from aigv_assessor_tpu.cli.common import LLM_2B
+    from aigv_assessor_tpu.core.config import AssessorConfig
+    from aigv_assessor_tpu.core.precision import Precision
+    from aigv_assessor_tpu.models.assessor import AIGVAssessor
+    from aigv_assessor_tpu.models.generation import GenerationConfig, decode_loop
+    from aigv_assessor_tpu.models.internlm2 import KVCache
+
+    if on_tpu:
+        cfg = AssessorConfig(llm=LLM_2B, stage=1).replace(img_context_token_id=7)
+        prefill, new_tokens, img = 2097, 64, 448
+    else:
+        cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=7)
+        prefill, new_tokens, img = 32, 8, 56
+
+    model = AIGVAssessor(cfg, Precision())
+    b = 1
+    maxlen = prefill + new_tokens
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.key(0),
+        jnp.zeros((b, 4), jnp.int32),
+        jnp.zeros((b, 1, img, img, 3), jnp.bfloat16),
+    )
+    params = _zero_params_like(shapes)
+    cache = KVCache.init(cfg.llm, b, maxlen)
+    cache = KVCache(k=cache.k, v=cache.v, index=jnp.asarray(prefill, jnp.int32))
+    kv_mask = jnp.ones((b, maxlen), bool)
+    start = jnp.full((b,), prefill, jnp.int32)
+    first = jnp.zeros((b,), jnp.int32)
+    rng = jax.random.key(0)
+    gcfg = GenerationConfig(max_new_tokens=new_tokens, eos_token_id=-1)
+
+    def run():
+        return decode_loop(
+            model, params, first, cache, start, kv_mask, rng, gcfg
+        )
+
+    t_ = run()
+    np.asarray(t_)  # compile+warm
+    samples = []
+    for _r in range(3):
+        t0 = time.perf_counter()
+        toks = run()
+        np.asarray(toks)
+        dt = time.perf_counter() - t0
+        samples.append(new_tokens / dt)
+    return float(np.median(samples)), samples
 
 
 def main() -> None:
     on_tpu = _is_tpu()
-    videos_per_sec, seq = bench_pipeline(on_tpu)
-    vit_fps = bench_vit(on_tpu)
-    print(
-        json.dumps(
-            {
-                "metric": "videos_scored_per_sec_chip",
-                "value": round(videos_per_sec, 3),
-                "unit": "videos/sec/chip",
-                "vs_baseline": round(videos_per_sec / A100_REF_VIDEOS_PER_SEC, 3),
-                "config": f"2B stage-2 scoring, 8 frames 448px, seq {seq}, bs=4, bf16"
-                if on_tpu
-                else "tiny CPU smoke",
-                "vit_encode_frames_per_sec": round(vit_fps, 2),
-                "vit_vs_baseline": round(vit_fps / A100_REF_FRAMES_PER_SEC, 3),
-            }
-        )
+    fast = os.environ.get("AIGV_BENCH_FAST", "0") == "1"
+
+    videos_per_sec, seq, single_video_time, pipe_samples, setup = (
+        bench_pipeline(on_tpu)
     )
+    vit_fps = bench_vit(on_tpu)
+    record = {
+        "metric": "videos_scored_per_sec_chip",
+        "value": round(videos_per_sec, 3),
+        "unit": "videos/sec/chip",
+        "vs_baseline": round(videos_per_sec / A100_REF_VIDEOS_PER_SEC, 3),
+        "config": f"2B stage-2 scoring, 8 frames 448px, seq {seq}, bs=4, bf16"
+        if on_tpu
+        else "tiny CPU smoke",
+        "protocol": "median of 3 chained-loop repeats, RTT-subtracted",
+        "spread": [round(min(pipe_samples), 4), round(max(pipe_samples), 4)],
+        "vit_encode_frames_per_sec": round(vit_fps, 2),
+        "vit_vs_baseline": round(vit_fps / A100_REF_FRAMES_PER_SEC, 3),
+    }
+
+    if not fast:
+        try:
+            persp_ps, speedup, _ = bench_perspectives(
+                on_tpu, setup, single_video_time
+            )
+            record["perspectives_scored_per_sec_chip"] = round(persp_ps, 3)
+            record["fused_speedup_vs_4x"] = round(speedup, 3)
+        except Exception as e:  # pragma: no cover
+            record["perspectives_error"] = repr(e)[:200]
+        try:
+            tput, _ = bench_train_step(on_tpu, stage=1)
+            record["train_samples_per_sec"] = round(tput, 3)
+        except Exception as e:  # pragma: no cover
+            record["train_error"] = repr(e)[:200]
+        try:
+            tput, _ = bench_train_step(on_tpu, stage=2)
+            record["lora_train_samples_per_sec"] = round(tput, 3)
+        except Exception as e:  # pragma: no cover
+            record["lora_train_error"] = repr(e)[:200]
+        try:
+            tok_s, _ = bench_decode(on_tpu)
+            record["decode_tokens_per_sec"] = round(tok_s, 2)
+        except Exception as e:  # pragma: no cover
+            record["decode_error"] = repr(e)[:200]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
