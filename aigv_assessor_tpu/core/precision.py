@@ -28,6 +28,10 @@ class Precision:
     # autoregressive decode. Replaces the reference's bitsandbytes
     # load_in_8bit path (`internvl/model/__init__.py:32-44`).
     int8_weights: bool = False
+    # W4A16 serving: nibble-packed int4 kernels unpacked in-kernel
+    # (`ops/int8_matmul.int4_matmul`) — quarter weight-streaming bytes,
+    # the `load_in_4bit` counterpart
+    int4_weights: bool = False
 
     def cast_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)

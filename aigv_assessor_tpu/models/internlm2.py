@@ -111,7 +111,12 @@ class InternLM2Attention(nn.Module):
         # no int8): the projection emits [B, H, S, D] directly so the flash
         # kernel's layout needs no relayout copy (measured ~5 ms/layer on the
         # ViT; same structure here). Cache and int8 paths keep [B, S, H, D].
-        fast = cache_k is None and not self.precision.int8_weights and s >= 8
+        fast = (
+            cache_k is None
+            and not self.precision.int8_weights
+            and not self.precision.int4_weights
+            and s >= 8
+        )
         if fast:
             qkv = LoRADense(
                 (hq + 2 * hkv) * d,
@@ -151,6 +156,7 @@ class InternLM2Attention(nn.Module):
             dtype=self.precision.compute_dtype,
             lora=self.lora,
             int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="wqkv",
         )(x, deterministic)
         q = qkv[..., : hq * d].reshape(b, s, hq, d)
@@ -172,7 +178,7 @@ class InternLM2Attention(nn.Module):
                 decode_kernel_supported,
             )
 
-            if s == 1 and decode_kernel_supported(hq, hkv, d):
+            if s == 1 and decode_kernel_supported(hq, hkv, d, b):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
                 ).astype(x.dtype)
@@ -198,6 +204,7 @@ class InternLM2Attention(nn.Module):
             dtype=self.precision.compute_dtype,
             lora=self.lora,
             int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="wo",
         )(out, deterministic)
         return out, new_cache
@@ -214,16 +221,19 @@ class InternLM2MLP(nn.Module):
         w1 = LoRADense(
             cfg.intermediate_size, dtype=self.precision.compute_dtype,
             lora=self.lora, int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="w1",
         )(x, deterministic)
         w3 = LoRADense(
             cfg.intermediate_size, dtype=self.precision.compute_dtype,
             lora=self.lora, int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="w3",
         )(x, deterministic)
         return LoRADense(
             cfg.hidden_size, dtype=self.precision.compute_dtype,
             lora=self.lora, int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="w2",
         )(nn.silu(w1) * w3, deterministic)
 
@@ -394,6 +404,15 @@ class InternLM2ForCausalLM(nn.Module):
         # via Embed.attend instead of a separate head
         if cfg.tie_word_embeddings:
             self.output = None
+        elif self.precision.int4_weights:
+            from aigv_assessor_tpu.models.lora import Int4Dense
+
+            self.output = Int4Dense(
+                cfg.vocab_size,
+                use_bias=False,
+                dtype=self.precision.compute_dtype,
+                name="output",
+            )
         elif self.precision.int8_weights:
             from aigv_assessor_tpu.models.lora import Int8Dense
 

@@ -27,6 +27,7 @@ def load_model_and_tokenizer(
     stage: int = 2,
     precision: Optional[Precision] = None,
     int8: bool = False,
+    int4: bool = False,
 ) -> Tuple[AssessorConfig, AIGVAssessor, dict, AIGVTokenizer]:
     """Load (config, model, params, tokenizer) from a checkpoint directory
     containing config.json + params.msgpack + tokenizer.json."""
@@ -49,7 +50,23 @@ def load_model_and_tokenizer(
     flat = traverse_util.flatten_dict(params)
     has_i8 = any(str(k[-1]) == "kernel_int8" for k in flat)
     has_i4 = any(str(k[-1]) == "kernel_int4" for k in flat)
-    if int8:
+    if int4:
+        # W4A16 serving: keep (or create) nibble-packed int4 LLM kernels
+        # and run the in-kernel-unpack matmul — the TPU-native load_in_4bit
+        # (`/root/reference/internvl/model/__init__.py:32-44`)
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_tree,
+            quantize_tree_int4,
+            strip_int4_meta,
+        )
+
+        if has_i8:
+            params = quantize_tree_int4(dequantize_tree(params))
+        elif not has_i4:
+            params = quantize_tree_int4(params)
+        params = strip_int4_meta(params)
+        precision = dataclasses.replace(precision, int4_weights=True)
+    elif int8:
         # W8A16 serving: keep (or create) int8 LLM kernels and run the
         # int8 matmul path — the TPU-native load_in_8bit
         # (`/root/reference/internvl/model/__init__.py:32-44`)

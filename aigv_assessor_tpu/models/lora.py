@@ -59,6 +59,42 @@ class Int8Dense(nn.Module):
         return y
 
 
+class Int4Dense(nn.Module):
+    """Dense over nibble-packed int4 weights (W4A16 serving).
+
+    Param names match `tools/convert_to_int8.py --bits 4` (`kernel_int4`
+    [ceil(K/2), N] + `kernel_scale4` [N]); the matmul unpacks in-kernel
+    (`ops/int8_matmul.int4_matmul`), streaming 4 bits/weight from HBM —
+    the reference's bitsandbytes `load_in_4bit` counterpart
+    (`/root/reference/internvl/model/__init__.py:32-44`)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from aigv_assessor_tpu.ops.int8_matmul import int4_dense_apply
+
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel_int4", nn.initializers.zeros,
+            ((in_dim + 1) // 2, self.features), jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale4", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        y = int4_dense_apply(
+            x.astype(self.dtype), kernel, scale, out_dtype=self.dtype
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class _HeadMajorDense(nn.Module):
     """Dense whose output is emitted head-major [B, heads, S, D] straight
     from the projection einsum ('bsc,chd->bhsd') — XLA fuses the transpose
@@ -124,6 +160,7 @@ class LoRADense(nn.Module):
     dtype: Any = jnp.bfloat16
     lora: Optional[LoRAConfig] = None
     int8: bool = False  # W8A16 serving base (Int8Dense)
+    int4: bool = False  # W4A16 serving base (Int4Dense)
     # head-major fusion modes (mutually exclusive): `head_major` emits
     # [B, heads, S, D]; `head_major_in` consumes that layout
     head_major: Optional[int] = None
@@ -131,15 +168,21 @@ class LoRADense(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        quant = self.int8 or self.int4
         if self.head_major:
-            assert not self.int8, "int8 + head_major not supported"
+            assert not quant, "quantized + head_major not supported"
             y = _HeadMajorDense(
                 self.features, self.head_major, use_bias=self.use_bias,
                 dtype=self.dtype, name="base",
             )(x)
         elif self.head_major_in:
-            assert not self.int8, "int8 + head_major not supported"
+            assert not quant, "quantized + head_major not supported"
             y = _HeadMajorOutDense(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                name="base",
+            )(x)
+        elif self.int4:
+            y = Int4Dense(
                 self.features, use_bias=self.use_bias, dtype=self.dtype,
                 name="base",
             )(x)

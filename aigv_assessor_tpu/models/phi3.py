@@ -165,7 +165,12 @@ class Phi3Attention(nn.Module):
         # head-major fast path for the training/scoring forward (no cache):
         # same structure as InternLM2Attention — the projection emits
         # [B, H, S, D] so the flash kernel needs no relayout copy
-        fast = cache_k is None and not self.precision.int8_weights and s >= 8
+        fast = (
+            cache_k is None
+            and not self.precision.int8_weights
+            and not self.precision.int4_weights
+            and s >= 8
+        )
         if fast:
             qkv = LoRADense(
                 (hq + 2 * hkv) * d,
@@ -196,6 +201,7 @@ class Phi3Attention(nn.Module):
             dtype=self.precision.compute_dtype,
             lora=self.lora,
             int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="qkv_proj",
         )(x, deterministic)
         q = qkv[..., : hq * d].reshape(b, s, hq, d)
@@ -214,7 +220,7 @@ class Phi3Attention(nn.Module):
                 decode_kernel_supported,
             )
 
-            if s == 1 and decode_kernel_supported(hq, hkv, d):
+            if s == 1 and decode_kernel_supported(hq, hkv, d, b):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
                 ).astype(x.dtype)
@@ -233,7 +239,8 @@ class Phi3Attention(nn.Module):
         return (
             LoRADense(
                 c, dtype=self.precision.compute_dtype, lora=self.lora,
-                int8=self.precision.int8_weights, name="o_proj",
+                int8=self.precision.int8_weights,
+                int4=self.precision.int4_weights, name="o_proj",
             )(out, deterministic),
             new_cache,
         )
@@ -252,6 +259,7 @@ class Phi3MLP(nn.Module):
             dtype=self.precision.compute_dtype,
             lora=self.lora,
             int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="gate_up_proj",
         )(x, deterministic)
         gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -260,6 +268,7 @@ class Phi3MLP(nn.Module):
             dtype=self.precision.compute_dtype,
             lora=self.lora,
             int8=self.precision.int8_weights,
+            int4=self.precision.int4_weights,
             name="down_proj",
         )(nn.silu(gate) * up, deterministic)
 

@@ -40,12 +40,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def decode_kernel_supported(hq: int, hkv: int, d: int) -> bool:
+def decode_kernel_supported(hq: int, hkv: int, d: int, batch: int = 1) -> bool:
     """Compiled-path eligibility: TPU backend, MXU-friendly head dim, GQA
-    grouping, enough query heads for a sublane tile."""
+    grouping, enough query heads for a sublane tile.
+
+    Default OFF: measured at 2B (BENCH_NOTES.md round 3), this kernel LOSES
+    to the XLA einsum decode path at every batch size tried — 129.7 vs 185
+    tok/s at bs=1 and 300 vs 1051 aggregate tok/s at bs=8 (full 2097-token
+    windows). The per-(sample, kv-head) [G, D] @ [D, BLK] dots are too
+    narrow for the MXU, and XLA batches the whole cache read as one einsum
+    at near-HBM-peak. Its ragged-window HBM saving can only win when
+    samples' valid lengths are far shorter than max_len; force it on for
+    such workloads with AIGV_DECODE_KERNEL=1 (0 forces off)."""
+    import os
+
     from aigv_assessor_tpu.ops.attention import _on_tpu
 
-    return _on_tpu() and d in (64, 128) and hq % hkv == 0 and hq >= 8
+    force = os.environ.get("AIGV_DECODE_KERNEL")
+    ok = _on_tpu() and d in (64, 128) and hq % hkv == 0 and hq >= 8
+    return ok and force == "1"
 
 
 def _decode_kernel(
@@ -96,6 +109,10 @@ def _decode_kernel(
         row0 = j * blk
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
         valid = (rows >= start) & (rows < end)  # [1, BLK]
+        # same mask in [BLK, 1] orientation, built directly (Mosaic can't
+        # reshape i1 vectors across the minor dim)
+        rows_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+        vrow = (rows_col >= start) & (rows_col < end)  # [BLK, 1]
 
         # scores [Hq, BLK]: per kv head, q_h [G, D] @ k_h^T [D, BLK]
         parts = []
@@ -130,7 +147,6 @@ def _decode_kernel(
         # zero garbage V rows (tail of a partial out-of-bounds block) with a
         # select: the matching p columns are 0, but 0 * NaN = NaN would
         # still poison the dot (a multiply mask has the same problem)
-        vrow = valid.reshape(blk, 1)  # [BLK, 1] bool
         ctx_parts = []
         for h in range(hkv):
             vh = jnp.where(vrow, v_ref[0, :, h, :], 0)  # [BLK, D]

@@ -118,9 +118,11 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, *, block_k2, k2_total)
 
     def body(i, acc):
         w_blk = w_ref[pl.ds(i * block_k2, block_k2), :]  # packed int8
-        # sign-extended nibbles (arithmetic shifts on the VPU)
-        lo = ((w_blk << 4) >> 4).astype(xe_ref.dtype)
-        hi = (w_blk >> 4).astype(xe_ref.dtype)
+        # sign-extended nibbles; shifts run in int32 (Mosaic does not
+        # legalize arith.shli on int8 vectors)
+        w32 = w_blk.astype(jnp.int32)
+        lo = ((w32 << 28) >> 28).astype(xe_ref.dtype)
+        hi = ((w32 << 24) >> 28).astype(xe_ref.dtype)
         xe = xe_ref[:, pl.ds(i * block_k2, block_k2)]
         xo = xo_ref[:, pl.ds(i * block_k2, block_k2)]
         acc = acc + lax.dot_general(
@@ -220,13 +222,14 @@ def int4_dense_apply(
     if _on_tpu():
         y = int4_matmul(x2, kernel_int4, scale, out_dtype=out_dtype)
     else:
-        from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_kernel_int4
-        import numpy as np
-
-        w = jnp.asarray(
-            dequantize_kernel_int4(np.asarray(kernel_int4), np.asarray(scale), k)
-        )
-        y = (x2.astype(jnp.float32) @ w.astype(jnp.float32)).astype(out_dtype)
+        # traceable dequant (rows interleave as (2i, 2i+1) = (lo, hi))
+        k2 = kernel_int4.shape[0]
+        w32 = kernel_int4.astype(jnp.int32)
+        lo = (w32 << 28) >> 28
+        hi = (w32 << 24) >> 28
+        q = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)[:k]
+        w = q.astype(jnp.float32) * scale[None, :]
+        y = (x2.astype(jnp.float32) @ w).astype(out_dtype)
     return y.reshape(lead + (n,))
 
 

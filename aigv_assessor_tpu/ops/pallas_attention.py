@@ -61,6 +61,9 @@ CAUSAL_BLOCK_Q = 256
 # grid steps and larger matmuls dominate the online-softmax bookkeeping
 # (measured on v5e: 13.9 -> 29.1 TFLOP/s on the ViT's 1025-token shape)
 _FULL_TILE_MAX = 2048
+# inference-path probability tiles in bf16 (see _fwd_kernel single-tile
+# path); module-level so benchmarks can sweep it. AD always keeps fp32.
+PF16_INFERENCE = False
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
@@ -103,6 +106,7 @@ def supported(q, k, v, mask) -> bool:
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, *rest,
     scale, causal, kv_valid, block_k, hp, with_lse, mask_tail=False,
+    pf16=False,
 ):
     """hp = heads per program (leading block dim): interleaving 2 heads lets
     the scheduler overlap one head's VPU softmax with the other's MXU matmuls
@@ -117,28 +121,44 @@ def _fwd_kernel(
         block_q, d = q.shape
 
         if not causal and num_k_blocks == 1:
-            # single-tile fast path. Two tail regimes:
-            # - kernel-internal padding is ZERO, so padded columns score 0
-            #   and contribute n_pad * exp2(-m) of softmax mass, subtracted
-            #   in closed form (no mask/iota passes);
-            # - caller-pre-padded tails (explicit kv_valid) hold GARBAGE
-            #   (evolved pad tokens) and must be masked explicitly.
+            # single-tile fast path. A caller-pre-padded tail (explicit
+            # kv_valid, garbage evolved pad tokens) is folded into the same
+            # regime as kernel-internal zero padding by zeroing the k/v tail
+            # ROWS first: that's a where-pass over two [BK, D] bf16 tiles
+            # (~132 KB each on the ViT shape) instead of masking the fp32
+            # [BQ, BK] score tile (~4.3 MB read+write). Zeroed columns then
+            # score exactly 0 and contribute n_pad * exp2(-m) of softmax
+            # mass, subtracted in closed form; their pv contribution is 0
+            # because the v rows are zero too.
             n_pad = block_k - kv_valid
-            s = lax.dot_general(
-                q, k_ref[hh], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            k_t = k_ref[hh]
+            v_t = v_ref[hh]
             if mask_tail and n_pad:
-                col_ids = lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col_ids < kv_valid, s, _NEG_INF)
-            m = jnp.max(s, axis=1, keepdims=True)
-            pf = jnp.exp2(s - m)
-            l = jnp.sum(pf, axis=1, keepdims=True)
-            pv = lax.dot_general(
-                pf.astype(v_ref.dtype), v_ref[hh], (((1,), (0,)), ((), ())),
+                rid = lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+                row_ok = rid < kv_valid  # [BK, 1]
+                k_t = jnp.where(row_ok, k_t, 0)
+                v_t = jnp.where(row_ok, v_t, 0)
+            s = lax.dot_general(
+                q, k_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if n_pad and not mask_tail:
+            m = jnp.max(s, axis=1, keepdims=True)
+            if pf16 and not with_lse:
+                # inference-only: store the probability tile in the v dtype
+                # (bf16) straight out of the exp2 pass — halves pf VMEM
+                # traffic; row-sum still accumulates fp32. ~1e-3 relative,
+                # inside bf16 output rounding. AD keeps fp32 (exact lse).
+                pf = jnp.exp2(s - m).astype(v_t.dtype)
+                l = jnp.sum(pf.astype(jnp.float32), axis=1, keepdims=True)
+            else:
+                pf = jnp.exp2(s - m)
+                l = jnp.sum(pf, axis=1, keepdims=True)
+            pv = lax.dot_general(
+                pf.astype(v_t.dtype), v_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if n_pad:
+                # zero-scoring pad columns (kernel pad or zeroed tail)
                 l = l - n_pad * jnp.exp2(-m)
             r = 1.0 / jnp.where(l <= 0.0, 1.0, l)
             o_ref[hh] = (pv * r).astype(o_ref.dtype)
@@ -311,6 +331,7 @@ def _fwd(
             hp=hp,
             with_lse=with_lse,
             mask_tail=mask_tail,
+            pf16=PF16_INFERENCE,
         ),
         grid=((b * hq) // hp, nq),
         in_specs=[q_spec, kv_spec, kv_spec],
@@ -776,6 +797,7 @@ def _fwd_qkv(
             hp=hp,
             with_lse=with_lse,
             mask_tail=mask_tail,
+            pf16=PF16_INFERENCE,
         ),
         grid=((b * hq) // hp, nq),
         in_specs=[q_spec, k_spec, v_spec],

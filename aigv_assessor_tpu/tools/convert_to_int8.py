@@ -112,6 +112,15 @@ def quantize_tree_int4(
     return traverse_util.unflatten_dict(out)
 
 
+def strip_int4_meta(params: dict) -> dict:
+    """Drop the `kernel_in_dim` bookkeeping scalars (needed only to
+    dequantize odd in_dims) so the tree matches Int4Dense's parameters —
+    required before serving an int4 tree (scan can't slice scalars)."""
+    flat = traverse_util.flatten_dict(params)
+    out = {k: v for k, v in flat.items() if str(k[-1]) != "kernel_in_dim"}
+    return traverse_util.unflatten_dict(out)
+
+
 def dequantize_tree(params: dict, dtype=np.float32) -> dict:
     flat = traverse_util.flatten_dict(params)
     out = {}

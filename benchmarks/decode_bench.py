@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--scale", default="2b", choices=["tiny", "2b"])
     ap.add_argument("--int8", action="store_true",
                     help="W8A16: int8 LLM weights (serving path)")
+    ap.add_argument("--int4", action="store_true",
+                    help="W4A16: nibble-packed int4 LLM weights, unpacked "
+                         "in-kernel (ops/int8_matmul.int4_matmul)")
     args = ap.parse_args()
 
     from aigv_assessor_tpu.cli.common import LLM_2B
@@ -50,7 +53,7 @@ def main():
     else:
         cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=7)
 
-    precision = Precision(int8_weights=args.int8)
+    precision = Precision(int8_weights=args.int8, int4_weights=args.int4)
     model = AIGVAssessor(cfg, precision)
     b = args.batch
     maxlen = args.prefill + args.new_tokens
@@ -78,7 +81,8 @@ def main():
     rng = jax.random.key(0)
     gcfg = GenerationConfig(max_new_tokens=args.new_tokens, eos_token_id=-1)
 
-    print(f"compile+warm decode_loop ({args.scale}, int8={args.int8})...",
+    print(f"compile+warm decode_loop ({args.scale}, int8={args.int8}, "
+          f"int4={args.int4})...",
           flush=True)
     out = decode_loop(model, params, first, cache, start, kv_mask, rng, gcfg)
     _ = np.asarray(out)  # full sync through the tunnel
@@ -99,6 +103,7 @@ def main():
                 "prefill": args.prefill,
                 "scale": args.scale,
                 "int8": args.int8,
+                "int4": args.int4,
                 "ms_per_token": round(per_token * 1e3, 2),
             }
         )

@@ -29,20 +29,36 @@ import numpy as np
 
 
 def time_chained(fn, args, iters):
-    """Chain `iters` dependent calls; end with scalar readback."""
-    out = fn(*args)
-    float(jnp.sum(out.astype(jnp.float32)))  # compile+warm
-    t0 = time.perf_counter()
-    acc = None
-    x = args[0]
-    for _ in range(iters):
-        out = fn(x, *args[1:])
-        # data dependence: feed a slice of the output back to x's first col
-        x = x.at[:, :1].set(out[:, :1].astype(x.dtype))
-    s = float(jnp.sum(out.astype(jnp.float32)))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    return dt / iters
+    """Differential device-side chained timing: two fori_loop lengths
+    (iters and 4*iters) with a data dependence, per-iter = slope between
+    them — cancels the fixed per-call tunnel/dispatch overhead (measured
+    ~28 ms/call this session, dwarfing sub-ms kernels; BENCH_NOTES.md
+    traps). Median of 3 slope estimates."""
+    x0, ws = args[0], args[1:]
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(x, *ws, n):
+        def body(i, x):
+            out = fn(x, *ws)
+            return x.at[:, :1].set(out[:, :1].astype(x.dtype))
+
+        x = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(fn(x, *ws).astype(jnp.float32))
+
+    n1, n2 = iters, 4 * iters
+    for n in (n1, n2):  # compile + warm both
+        s = float(run(x0, *ws, n=n))
+        assert np.isfinite(s), s
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x0, *ws, n=n1))
+        t1 = time.perf_counter()
+        float(run(x0, *ws, n=n2))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return max(float(np.median(slopes)), 1e-9)
 
 
 def main():

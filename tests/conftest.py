@@ -13,4 +13,13 @@ if "--xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the tunnel's sitecustomize imports jax and registers its PJRT plugin
+# BEFORE conftest runs, so the env var above is too late: jax is already
+# in sys.modules with jax_platforms materialized as "axon,cpu". Pin the
+# config itself — backend resolution is lazy, so this wins as long as no
+# array op ran yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

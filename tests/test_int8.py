@@ -191,3 +191,49 @@ class TestInt4Kernel:
         np.testing.assert_allclose(
             np.asarray(got).reshape(-1, n), ref, rtol=2e-4, atol=2e-4
         )
+
+
+class TestInt4Serving:
+    """W4A16 serving path: Int4Dense modules over `--bits 4` checkpoints
+    (the TPU-native load_in_4bit with packed weights kept packed)."""
+
+    def test_llm_int4_matches_dequantized(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        from flax import traverse_util
+
+        from aigv_assessor_tpu.core.config import LLMConfig
+        from aigv_assessor_tpu.core.precision import Precision
+        from aigv_assessor_tpu.models.internlm2 import InternLM2ForCausalLM
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_tree,
+            quantize_tree_int4,
+            strip_int4_meta,
+        )
+
+        cfg = LLMConfig.tiny()
+        fp = Precision.fp32()
+        model = InternLM2ForCausalLM(cfg, fp)
+        ids = jnp.arange(12)[None, :] % cfg.vocab_size
+        params = model.init(jax.random.key(0), ids)
+        qparams = quantize_tree_int4(
+            jax.tree_util.tree_map(lambda x: np.asarray(x), params),
+            min_size=1,
+            scope="",
+        )
+        flat = traverse_util.flatten_dict(qparams)
+        n_int4 = sum(1 for k in flat if str(k[-1]) == "kernel_int4")
+        assert n_int4 == 5 + 1, n_int4
+
+        int4_model = InternLM2ForCausalLM(
+            cfg, dataclasses.replace(fp, int4_weights=True)
+        )
+        logits_q, _, _ = int4_model.apply(strip_int4_meta(qparams), ids)
+
+        deq = dequantize_tree(qparams)
+        logits_d, _, _ = model.apply(deq, ids)
+        np.testing.assert_allclose(
+            np.asarray(logits_q), np.asarray(logits_d), rtol=2e-2, atol=2e-2
+        )
