@@ -100,6 +100,12 @@ def main(argv=None):
                     help="decode at native size on host, fused bicubic "
                          "resize+normalize on device (ops/preprocess.py); "
                          "False = host PIL path (training parity)")
+    ap.add_argument("--int8", type=_bool, default=False,
+                    help="W8A16 serving: int8 LLM kernels (HBM footprint; "
+                         "the load_in_8bit counterpart)")
+    ap.add_argument("--int4", type=_bool, default=False,
+                    help="W4A16 serving: nibble-packed int4 LLM kernels "
+                         "unpacked in-kernel (the load_in_4bit counterpart)")
     args = ap.parse_args(argv)
 
     # reuse the training CLI assembly (tiny fallback when no checkpoint)
@@ -132,6 +138,14 @@ def main(argv=None):
     from aigv_assessor_tpu.cli.common import build_model_and_tokenizer
 
     config, model, params, tokenizer = build_model_and_tokenizer(asm_args, stage=2)
+    if args.int8 or args.int4:
+        from aigv_assessor_tpu.models.assessor import AIGVAssessor
+        from aigv_assessor_tpu.models.loading import quantize_for_serving
+
+        params, precision = quantize_for_serving(
+            params, model.precision, int8=args.int8, int4=args.int4
+        )
+        model = AIGVAssessor(config, precision)
     image_size = config.force_image_size or config.vision.image_size
 
     videos = list_videos(args.videos)

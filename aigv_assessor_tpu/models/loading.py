@@ -42,18 +42,32 @@ def load_model_and_tokenizer(
     with open(params_path, "rb") as f:
         params = serialization.msgpack_restore(f.read())
 
+    params, precision = quantize_for_serving(
+        params, precision or Precision(), int8=int8, int4=int4
+    )
+    model = AIGVAssessor(config, precision)
+    params = adapt_layer_format(params, config)
+    return config, model, params, tokenizer
+
+
+def quantize_for_serving(
+    params, precision: Precision, int8: bool = False, int4: bool = False
+) -> Tuple[dict, Precision]:
+    """Convert a parameter tree and Precision for quantized serving.
+
+    int4: W4A16 — keep (or create) nibble-packed int4 LLM kernels; the
+    matmul unpacks in-kernel (`ops/int8_matmul.int4_matmul`). int8: W8A16.
+    Neither: quantized checkpoints dequantize to the compute dtype. The
+    TPU-native `load_in_8bit`/`load_in_4bit`
+    (`/root/reference/internvl/model/__init__.py:32-44`)."""
     import dataclasses
 
-    precision = precision or Precision()
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(params)
     has_i8 = any(str(k[-1]) == "kernel_int8" for k in flat)
     has_i4 = any(str(k[-1]) == "kernel_int4" for k in flat)
     if int4:
-        # W4A16 serving: keep (or create) nibble-packed int4 LLM kernels
-        # and run the in-kernel-unpack matmul — the TPU-native load_in_4bit
-        # (`/root/reference/internvl/model/__init__.py:32-44`)
         from aigv_assessor_tpu.tools.convert_to_int8 import (
             dequantize_tree,
             quantize_tree_int4,
@@ -67,9 +81,6 @@ def load_model_and_tokenizer(
         params = strip_int4_meta(params)
         precision = dataclasses.replace(precision, int4_weights=True)
     elif int8:
-        # W8A16 serving: keep (or create) int8 LLM kernels and run the
-        # int8 matmul path — the TPU-native load_in_8bit
-        # (`/root/reference/internvl/model/__init__.py:32-44`)
         from aigv_assessor_tpu.tools.convert_to_int8 import (
             dequantize_tree,
             quantize_tree,
@@ -81,15 +92,11 @@ def load_model_and_tokenizer(
             params = quantize_tree(params)
         precision = dataclasses.replace(precision, int8_weights=True)
     elif has_i8 or has_i4:
-        # int4 checkpoints (load_in_4bit equivalent: quarter-size storage)
-        # always dequantize to the compute dtype at load
+        # quantized storage, full-precision serving: dequantize at load
         from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_tree
 
         params = dequantize_tree(params)
-
-    model = AIGVAssessor(config, precision)
-    params = adapt_layer_format(params, config)
-    return config, model, params, tokenizer
+    return params, precision
 
 
 def adapt_layer_format(params, config: AssessorConfig):

@@ -72,11 +72,9 @@ def _timeit(probe, args, iters, repeats=3):
     return float(np.median(samples)), samples
 
 
-def _zero_params_like(shapes):
+def _zero_params_like(shapes, dtype=jnp.bfloat16):
     return jax.tree_util.tree_map(
-        lambda s: jnp.zeros(
-            s.shape, s.dtype if s.dtype == jnp.int8 else jnp.bfloat16
-        ),
+        lambda s: jnp.zeros(s.shape, s.dtype if s.dtype == jnp.int8 else dtype),
         shapes,
     )
 
@@ -96,19 +94,22 @@ def _pipeline_setup(on_tpu: bool, stage: int = 2):
         cfg = AssessorConfig.tiny(stage=stage).replace(img_context_token_id=7)
         image, b, t, text_len = 56, 2, 4, 32
 
-    model = AIGVAssessor(cfg, Precision())
+    # CPU smoke runs fp32: the CPU backend's DotThunk has no bf16 path
+    prec, fdt = (Precision(), jnp.bfloat16) if on_tpu else (
+        Precision.fp32(), jnp.float32)
+    model = AIGVAssessor(cfg, prec)
     n_ctx = t * cfg.num_image_token + 1
     seq = n_ctx + text_len
     rng = np.random.default_rng(0)
     ids = rng.integers(10, cfg.llm.vocab_size, (b, seq))
     ids[:, 1 : 1 + n_ctx] = cfg.img_context_token_id
     ids = jnp.asarray(ids, jnp.int32)
-    px = jnp.asarray(rng.normal(size=(b, t, image, image, 3)), jnp.bfloat16)
+    px = jnp.asarray(rng.normal(size=(b, t, image, image, 3)), fdt)
     mask = jnp.ones((b, seq), bool)
 
     # zero-init via eval_shape: instant, timing-equivalent for dense matmuls
     shapes = jax.eval_shape(model.init, jax.random.key(0), ids, px)
-    params = _zero_params_like(shapes)
+    params = _zero_params_like(shapes, fdt)
     return cfg, model, params, ids, px, mask, seq, (b, t, image)
 
 
@@ -163,12 +164,14 @@ def bench_vit(on_tpu: bool):
 
     cfg = VisionConfig() if on_tpu else VisionConfig.tiny()
     batch = 64 if on_tpu else 8
-    model = InternVisionModel(cfg, Precision())
+    model = InternVisionModel(
+        cfg, Precision() if on_tpu else Precision.fp32()
+    )
     x = jnp.asarray(
         np.random.default_rng(0).normal(
             size=(batch, cfg.image_size, cfg.image_size, 3)
         ),
-        jnp.bfloat16,
+        jnp.bfloat16 if on_tpu else jnp.float32,
     )
     params = jax.jit(model.init)(jax.random.key(0), x)
 
@@ -204,7 +207,9 @@ def bench_train_step(on_tpu: bool, stage: int):
         )
         image, b, t, text_len, iters = 56, 2, 4, 32, 2
 
-    model = AIGVAssessor(cfg, Precision(), remat=True)
+    model = AIGVAssessor(
+        cfg, Precision() if on_tpu else Precision.fp32(), remat=True
+    )
     n_ctx = t * cfg.num_image_token + 1
     seq = n_ctx + text_len
     rng = np.random.default_rng(0)
@@ -249,24 +254,29 @@ def bench_train_step(on_tpu: bool, stage: int):
 
     state = trainer.state
 
-    def probe():
-        nonlocal state
-        t0 = time.perf_counter()
-        s, loss = step(state, mb, key)
-        _ = float(loss)
-        dt0 = time.perf_counter() - t0
-        samples = []
-        for _r in range(3):
-            t0 = time.perf_counter()
-            loss = None
-            for _ in range(iters):
-                state_i, loss = step(state, mb, key)
-            _ = float(loss)
-            dt = time.perf_counter() - t0
-            samples.append(max((dt - dt0) / max(iters - 1, 1), 1e-9))
-        return float(np.median(samples)), samples
+    state_box = [state]
 
-    per_step, samples = probe()
+    def run_loop(n):
+        # the compiled step DONATES its state argument — always feed the
+        # returned state back in (reusing a donated buffer raises)
+        st = state_box[0]
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            st, loss = step(st, mb, key)
+        _ = float(loss)  # sync
+        state_box[0] = st
+        return time.perf_counter() - t0
+
+    run_loop(1)  # compile + warm
+    # slope between loops of n and 3n steps cancels the fixed
+    # dispatch/readback overhead (BENCH_NOTES.md round-3 trap)
+    samples = []
+    for _r in range(3):
+        t1 = run_loop(iters)
+        t2 = run_loop(3 * iters)
+        samples.append(max((t2 - t1) / (2 * iters), 1e-9))
+    per_step = float(np.median(samples))
     return b / per_step, samples
 
 
@@ -288,16 +298,18 @@ def bench_decode(on_tpu: bool):
         cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=7)
         prefill, new_tokens, img = 32, 8, 56
 
-    model = AIGVAssessor(cfg, Precision())
+    prec, fdt = (Precision(), jnp.bfloat16) if on_tpu else (
+        Precision.fp32(), jnp.float32)
+    model = AIGVAssessor(cfg, prec)
     b = 1
     maxlen = prefill + new_tokens
     shapes = jax.eval_shape(
         model.init,
         jax.random.key(0),
         jnp.zeros((b, 4), jnp.int32),
-        jnp.zeros((b, 1, img, img, 3), jnp.bfloat16),
+        jnp.zeros((b, 1, img, img, 3), fdt),
     )
-    params = _zero_params_like(shapes)
+    params = _zero_params_like(shapes, fdt)
     cache = KVCache.init(cfg.llm, b, maxlen)
     cache = KVCache(k=cache.k, v=cache.v, index=jnp.asarray(prefill, jnp.int32))
     kv_mask = jnp.ones((b, maxlen), bool)
@@ -354,16 +366,26 @@ def main() -> None:
             record["fused_speedup_vs_4x"] = round(speedup, 3)
         except Exception as e:  # pragma: no cover
             record["perspectives_error"] = repr(e)[:200]
+        # free the ~5 GB of pipeline params before the train sections —
+        # keeping them alive OOMs the 16 GB chip under the fp32 train state
+        import gc
+
+        del setup
+        gc.collect()
         try:
             tput, _ = bench_train_step(on_tpu, stage=1)
             record["train_samples_per_sec"] = round(tput, 3)
         except Exception as e:  # pragma: no cover
             record["train_error"] = repr(e)[:200]
+        gc.collect()
+        jax.clear_caches()  # drop executables + their donated train state
         try:
             tput, _ = bench_train_step(on_tpu, stage=2)
             record["lora_train_samples_per_sec"] = round(tput, 3)
         except Exception as e:  # pragma: no cover
             record["lora_train_error"] = repr(e)[:200]
+        gc.collect()
+        jax.clear_caches()
         try:
             tok_s, _ = bench_decode(on_tpu)
             record["decode_tokens_per_sec"] = round(tok_s, 2)
