@@ -120,3 +120,23 @@ def test_score_cli_e2e(fixture_dir, tmp_path):
     with open(out) as f:
         header = next(csv.reader(f))
     assert header == ["video_name", "pred_score"]
+
+
+@pytest.mark.slow
+def test_score_cli_int4_e2e(fixture_dir, tmp_path):
+    """Quantized serving through the CLI: --int4 quantizes the LLM to
+    nibble-packed kernels at load and scores every video to a finite
+    number (the load_in_4bit serving counterpart)."""
+    from aigv_assessor_tpu.cli import score
+
+    out = tmp_path / "scores_i4.csv"
+    rows = score.main(
+        [
+            "--model_scale", "tiny", "--videos", str(fixture_dir / "videos"),
+            "--batch_size", "4", "--num_segments", "4", "--bf16", "False",
+            "--max_seq_length", "512", "--out", str(out), "--workers", "1",
+            "--int4", "True",
+        ]
+    )
+    assert len(rows) == 8
+    assert all(np.isfinite(r[1]) for r in rows)

@@ -237,3 +237,37 @@ class TestInt4Serving:
         np.testing.assert_allclose(
             np.asarray(logits_q), np.asarray(logits_d), rtol=2e-2, atol=2e-2
         )
+
+    def test_int4_base_composes_with_lora(self):
+        """Serving an int4 checkpoint with LoRA adapters attached: the
+        LoRADense int4 base runs the packed kernel and the (zero-init)
+        LoRA delta leaves it exactly at the base output."""
+        import jax
+        import jax.numpy as jnp
+
+        from aigv_assessor_tpu.models.lora import (
+            Int4Dense,
+            LoRAConfig,
+            LoRADense,
+        )
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 6, 16)), jnp.float32
+        )
+        lora = LoRADense(
+            24, dtype=jnp.float32, lora=LoRAConfig(r=4, alpha=8), int4=True
+        )
+        p = lora.init(jax.random.key(1), x)
+        flat = {
+            "/".join(map(str, k)): v
+            for k, v in jax.tree_util.tree_flatten_with_path(p)[0]
+        }
+        assert any("kernel_int4" in k for k in flat), list(flat)
+        assert any("lora_a" in k for k in flat)
+        y = lora.apply(p, x)
+
+        base = Int4Dense(24, dtype=jnp.float32)
+        yb = base.apply(
+            {"params": p["params"]["base"]}, x
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yb), rtol=1e-6)
