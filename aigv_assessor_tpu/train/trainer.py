@@ -90,6 +90,13 @@ class TrainConfig:
     # stage1_train.py:73-86)
     output_file: str = "results.csv"
     metrics_file: str = "metrics.txt"
+    # Store the FROZEN param partition in bf16 when the model computes in
+    # bf16 (stage-1/2 freeze both towers — ~2.4B params at 2B scale).
+    # Numerics-identical: the forward casts fp32 masters to bf16 anyway, so
+    # keeping fp32 only doubles HBM (+4.8 GB) and weight-read bandwidth per
+    # microbatch. Matches the reference, whose frozen torch modules hold
+    # bf16 weights (`stage1_train.py:802-849` loads torch_dtype=bfloat16).
+    frozen_bf16: bool = True
 
 
 def make_schedule(cfg: TrainConfig, total_steps: int):
@@ -184,6 +191,18 @@ class Trainer:
             freeze_llm=train_config.freeze_llm,
             freeze_mlp=train_config.freeze_mlp,
         )
+        if (
+            train_config.frozen_bf16
+            and model.precision.compute_dtype == jnp.bfloat16
+        ):
+            t0, f0 = partition_params(params, self.trainable_mask)
+            f0 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(jnp.result_type(x), jnp.floating)
+                else x,
+                f0,
+            )
+            params = merge_params(t0, f0)
         counts = count_params(params, self.trainable_mask)
         logger.info(
             "parameters: %.1fM total, %.1fM trainable",

@@ -79,7 +79,7 @@ def _zero_params_like(shapes, dtype=jnp.bfloat16):
     )
 
 
-def _pipeline_setup(on_tpu: bool, stage: int = 2):
+def _pipeline_setup(on_tpu: bool, stage: int = 2, batch: int | None = None):
     from aigv_assessor_tpu.cli.common import LLM_2B
     from aigv_assessor_tpu.core.config import AssessorConfig
     from aigv_assessor_tpu.core.precision import Precision
@@ -89,10 +89,10 @@ def _pipeline_setup(on_tpu: bool, stage: int = 2):
         cfg = AssessorConfig(llm=LLM_2B, stage=stage).replace(
             img_context_token_id=7
         )
-        image, b, t, text_len = 448, 4, 8, 64
+        image, b, t, text_len = 448, batch or 4, 8, 64
     else:
         cfg = AssessorConfig.tiny(stage=stage).replace(img_context_token_id=7)
-        image, b, t, text_len = 56, 2, 4, 32
+        image, b, t, text_len = 56, batch or 2, 4, 32
 
     # CPU smoke runs fp32: the CPU backend's DotThunk has no bf16 path
     prec, fdt = (Precision(), jnp.bfloat16) if on_tpu else (
@@ -113,11 +113,11 @@ def _pipeline_setup(on_tpu: bool, stage: int = 2):
     return cfg, model, params, ids, px, mask, seq, (b, t, image)
 
 
-def bench_pipeline(on_tpu: bool):
+def bench_pipeline(on_tpu: bool, batch: int | None = None):
     """Flagship: videos scored/sec/chip at 2B scale (tiny on CPU smoke).
     Also returns the per-batch time for the fused-speedup comparison."""
     cfg, model, params, ids, px, mask, seq, (b, t, image) = _pipeline_setup(
-        on_tpu
+        on_tpu, batch=batch
     )
 
     @jax.jit

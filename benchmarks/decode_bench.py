@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--new_tokens", type=int, default=64)
     ap.add_argument("--prefill", type=int, default=2097)
-    ap.add_argument("--scale", default="2b", choices=["tiny", "2b"])
+    ap.add_argument("--scale", default="2b", choices=["tiny", "2b", "8b"])
     ap.add_argument("--int8", action="store_true",
                     help="W8A16: int8 LLM weights (serving path)")
     ap.add_argument("--int4", action="store_true",
@@ -50,6 +50,11 @@ def main():
 
     if args.scale == "2b":
         cfg = AssessorConfig(llm=LLM_2B, stage=1).replace(img_context_token_id=7)
+    elif args.scale == "8b":
+        # InternVL2-8B class (InternLM2.5-7B decoder, the default LLMConfig).
+        # bf16 weights are 15.4 GB — do not fit this 16 GB chip; --int4
+        # (3.9 GB packed) is the scale's serving mode here.
+        cfg = AssessorConfig(stage=1).replace(img_context_token_id=7)
     else:
         cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=7)
 
@@ -59,7 +64,7 @@ def main():
     maxlen = args.prefill + args.new_tokens
 
     # zero weights via eval_shape (timing-equivalent); int8 kernels as int8
-    img = 448 if args.scale == "2b" else 56
+    img = 56 if args.scale == "tiny" else 448
     shapes = jax.eval_shape(
         model.init,
         jax.random.key(0),
