@@ -248,6 +248,9 @@ def bench_train_step(on_tpu: bool, stage: int):
         output_dir="/tmp/aigv_bench_train",
     )
     trainer = Trainer(model, params, tcfg, total_steps=64)
+    # the trainer re-casts the frozen partition to bf16 — drop our fp32
+    # originals or both trees stay live and OOM the 16 GB chip
+    del params, shapes
     step = trainer.compiled_step()
     mb = microbatch(batch, 1)
     key = jax.random.key(0)
@@ -271,6 +274,8 @@ def bench_train_step(on_tpu: bool, stage: int):
     run_loop(1)  # compile + warm
     # slope between loops of n and 3n steps cancels the fixed
     # dispatch/readback overhead (BENCH_NOTES.md round-3 trap)
+    run_loop(iters)  # throwaway: the first post-warm loop pays one-off
+    # donated-buffer setup and tunnel stalls (observed slope<=0 otherwise)
     samples = []
     for _r in range(3):
         t1 = run_loop(iters)
