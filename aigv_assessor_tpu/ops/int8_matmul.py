@@ -147,8 +147,8 @@ def int4_matmul(
     w_packed: jnp.ndarray,  # [ceil(K/2), N] int8 (nibble-packed int4)
     scale: jnp.ndarray,  # [N] f32 per-output-channel
     block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 512,  # in UNPACKED k units
+    block_n: int | None = None,
+    block_k: int | None = None,  # in UNPACKED k units
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -156,6 +156,17 @@ def int4_matmul(
     k2, n = w_packed.shape
     assert k2 == _cdiv(k, 2), (k2, k)
     assert scale.shape == (n,)
+
+    # Auto block selection (swept at the 2B decode shapes,
+    # benchmarks/int4_block_sweep.py): target a ~2 MB packed-weight block
+    # [k2, bn] per grid step — wide-n shallow-k shapes (w1/w3 2048->16384)
+    # run 2.3x faster at bn=2048 than 512, while deep-k shapes
+    # (w2 8192->2048) invert and want bn=512. bk: the full k when it fits
+    # the same budget, else 512.
+    if block_n is None:
+        block_n = max(512, min(2048, (2 * 1024 * 1024 // max(k2, 1)) // 128 * 128))
+    if block_k is None:
+        block_k = k if k <= 2048 else 512
 
     if k % 2:
         x = jnp.pad(x, ((0, 0), (0, 1)))

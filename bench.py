@@ -285,8 +285,11 @@ def bench_train_step(on_tpu: bool, stage: int):
     return b / per_step, samples
 
 
-def bench_decode(on_tpu: bool):
-    """2B bs=1 fixed-cache decode loop, tokens/sec."""
+def bench_decode(on_tpu: bool, int4: bool = False):
+    """2B bs=1 fixed-cache decode loop, tokens/sec. int4=True runs the
+    W4A16 serving path (nibble-packed weights, in-kernel unpack) — the
+    only measured config past the 217 tok/s bf16 weight-bandwidth ceiling
+    (BENCH_NOTES.md round 3)."""
     import dataclasses
 
     from aigv_assessor_tpu.cli.common import LLM_2B
@@ -305,6 +308,8 @@ def bench_decode(on_tpu: bool):
 
     prec, fdt = (Precision(), jnp.bfloat16) if on_tpu else (
         Precision.fp32(), jnp.float32)
+    if int4:
+        prec = dataclasses.replace(prec, int4_weights=True)
     model = AIGVAssessor(cfg, prec)
     b = 1
     maxlen = prefill + new_tokens
@@ -396,6 +401,13 @@ def main() -> None:
             record["decode_tokens_per_sec"] = round(tok_s, 2)
         except Exception as e:  # pragma: no cover
             record["decode_error"] = repr(e)[:200]
+        gc.collect()
+        jax.clear_caches()
+        try:
+            tok_s, _ = bench_decode(on_tpu, int4=True)
+            record["decode_tokens_per_sec_int4"] = round(tok_s, 2)
+        except Exception as e:  # pragma: no cover
+            record["decode_int4_error"] = repr(e)[:200]
 
     print(json.dumps(record))
 
