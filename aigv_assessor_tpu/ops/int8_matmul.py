@@ -53,13 +53,20 @@ def int8_matmul(
     w_int8: jnp.ndarray,  # [K, N] int8
     scale: jnp.ndarray,  # [N] f32 (per-output-channel)
     block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 512,
+    block_n: int | None = None,
+    block_k: int | None = None,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     m, k = x.shape
     k2, n = w_int8.shape
     assert k == k2 and scale.shape == (n,)
+
+    # same ~2 MB-weight-block auto-selection as int4_matmul (swept there;
+    # the old fixed 512/512 made the int8 lm_head SLOWER than bf16)
+    if block_n is None:
+        block_n = max(512, min(2048, (2 * 1024 * 1024 // max(k, 1)) // 128 * 128))
+    if block_k is None:
+        block_k = k if k <= 2048 else 512
 
     bm = min(block_m, max(8, _cdiv(m, 8) * 8))
     bn = min(block_n, _cdiv(n, 128) * 128)
