@@ -116,3 +116,62 @@ def test_score_cli_multi_perspective(tmp_path):
     with open(out) as f:
         header = next(csv.reader(f))
     assert header == ["video_name", "pred_score_1", "pred_score_2"]
+
+
+class TestShardedPerspectiveServing:
+    """BASELINE config #3 multi-chip serving analog on the virtual 8-device
+    mesh: params laid out by `shard_for_inference` (training sharding
+    rules), the video batch data-parallel over (data, fsdp), and the fused
+    perspective scorer jitted over the mesh — scores must match the
+    unsharded run exactly."""
+
+    def test_scores_match_unsharded(self):
+        from aigv_assessor_tpu.core.mesh import MeshConfig
+        from aigv_assessor_tpu.models.loading import shard_for_inference
+        from aigv_assessor_tpu.parallel.sharding import shard_batch
+
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+
+        cfg = AssessorConfig.tiny(stage=2).replace(img_context_token_id=4)
+        model = AIGVAssessor(cfg, Precision.fp32())
+        b, p, t, seq = 8, 2, 4, 64
+        rng = np.random.default_rng(1)
+        n_ctx = t * cfg.num_image_token + 1
+        ids = rng.integers(5, cfg.llm.vocab_size, (b, p, seq))
+        ids[:, :, 1 : 1 + n_ctx] = cfg.img_context_token_id
+        mask = np.ones((b, p, seq), bool)
+        px = rng.normal(size=(b, t, 56, 56, 3)).astype(np.float32)
+        params = model.init(
+            jax.random.key(0),
+            jnp.asarray(ids[:, 0]),
+            jnp.asarray(px),
+            mos=jnp.zeros((b,)),
+        )
+
+        ref = np.asarray(
+            model.apply(
+                params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask),
+                method="score_perspectives",
+            )
+        )
+
+        mesh, sharded = shard_for_inference(
+            params, mesh_config=MeshConfig(data=4, fsdp=2, tensor=1)
+        )
+        with mesh:
+            batch = shard_batch(
+                {
+                    "ids": jnp.asarray(ids),
+                    "px": jnp.asarray(px),
+                    "mask": jnp.asarray(mask),
+                },
+                mesh,
+            )
+            fn = jax.jit(
+                lambda pr, i, x, m: model.apply(
+                    pr, i, x, m, method="score_perspectives"
+                )
+            )
+            got = np.asarray(fn(sharded, batch["ids"], batch["px"], batch["mask"]))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
