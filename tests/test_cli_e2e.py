@@ -140,3 +140,42 @@ def test_score_cli_int4_e2e(fixture_dir, tmp_path):
     )
     assert len(rows) == 8
     assert all(np.isfinite(r[1]) for r in rows)
+
+
+@pytest.mark.slow
+def test_stage2_lora_train_and_eval_e2e(fixture_dir, tmp_path):
+    """Stage-2 (LoRA) drive: L1 score training with adapters in both
+    towers, best-metric LoRA artifact dump, pred_score CSV column and the
+    *_score metric block (BASELINE #5's single-chip analog)."""
+    from aigv_assessor_tpu.cli import stage2_eval, stage2_train
+
+    out = tmp_path / "out2"
+    stage2_train.main(
+        [
+            "--meta_path", str(fixture_dir / "meta.json"),
+            "--output_dir", str(out),
+            "--do_train", "True", "--num_train_epochs", "1",
+            "--per_device_train_batch_size", "2", "--save_steps", "100",
+            "--use_backbone_lora", "2", "--use_llm_lora", "2",
+            *COMMON,
+        ]
+    )
+    log = (out / "train_log.jsonl").read_text().strip().splitlines()
+    assert len(log) >= 1
+    assert np.isfinite(json.loads(log[0])["loss"])
+
+    out2 = tmp_path / "eval2"
+    metrics = stage2_eval.main(
+        [
+            "--meta_path", str(fixture_dir / "meta.json"),
+            "--output_dir", str(out2),
+            "--eval_batch_size", "4",
+            "--output_file", "r.csv", "--metrics_file", "m.txt",
+            "--use_backbone_lora", "2", "--use_llm_lora", "2",
+            *COMMON,
+        ]
+    )
+    assert {"SRCC_score", "PLCC_score", "KRCC_score"} <= set(metrics)
+    with open(out2 / "r.csv") as f:
+        header = next(csv.reader(f))
+    assert "pred_score" in header
