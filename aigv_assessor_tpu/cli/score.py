@@ -106,6 +106,11 @@ def main(argv=None):
     ap.add_argument("--int4", type=_bool, default=False,
                     help="W4A16 serving: nibble-packed int4 LLM kernels "
                          "unpacked in-kernel (the load_in_4bit counterpart)")
+    ap.add_argument("--shared_prefix", type=_bool, default=True,
+                    help="with >1 perspectives: prefill the common prompt "
+                         "prefix (system turn + frame/motion tokens) ONCE "
+                         "per video and run the per-perspective question "
+                         "suffixes against the shared KV cache")
     args = ap.parse_args(argv)
 
     # reuse the training CLI assembly (tiny fallback when no checkpoint)
@@ -172,14 +177,50 @@ def main(argv=None):
         ids_pn[i, : len(p)] = p
         mask_pn[i, : len(p)] = True
 
+    # longest common token prefix across the perspectives: the system turn +
+    # every frame/motion <IMG_CONTEXT> token (the questions come after them).
+    # Its LLM prefill runs once per video; only the question suffixes are
+    # perspective-specific (score_perspectives shared_prefix_len).
+    prefix_len = 0
+    if args.shared_prefix and n_persp > 1:
+        prefix_len = min(len(p) for p in prompts)
+        for p in prompts[1:]:
+            i = 0
+            while i < prefix_len and p[i] == prompts[0][i]:
+                i += 1
+            prefix_len = min(prefix_len, i)
+        ctx_pos = np.nonzero(
+            np.asarray(prompts[0]) == config.img_context_token_id
+        )[0]
+        min_suffix = min(len(p) for p in prompts) - prefix_len
+        if (
+            prefix_len < 8
+            or ctx_pos.size == 0
+            or int(ctx_pos.max()) >= prefix_len
+            or min_suffix < 4  # room for the hidden[-4] read-out
+        ):
+            logger.warning(
+                "perspective prompts share no usable prefix; falling back "
+                "to independent per-perspective prefills"
+            )
+            prefix_len = 0
+        else:
+            logger.info(
+                "shared prompt prefix: %d of %d tokens prefilled once per "
+                "video", prefix_len, max_n,
+            )
+
     import jax.numpy as jnp
 
     @jax.jit
     def score_batch(params, input_ids, pixel_values, attention_mask):
-        # [B, P, N] prompts share one frame encode per video
+        # [B, P, N] prompts share one frame encode per video; with a common
+        # token prefix the LLM prefill over it is also shared (one prefill +
+        # block-causal question suffixes instead of P full prefills)
         return model.apply(
             params, input_ids, pixel_values, attention_mask,
             method="score_perspectives",
+            shared_prefix_len=prefix_len or None,
         )
 
     # threaded decode ahead of the device

@@ -289,6 +289,7 @@ class AIGVAssessor(nn.Module):
         pixel_values: jnp.ndarray,  # [B, T, H, W, 3]
         attention_mask: Optional[jnp.ndarray] = None,  # [B, P, N]
         deterministic: bool = True,
+        shared_prefix_len: Optional[int] = None,
     ) -> jnp.ndarray:
         """Score P perspective prompts per video off ONE shared frame encode.
 
@@ -299,6 +300,18 @@ class AIGVAssessor(nn.Module):
         Here the ViT encode + SlowFast motion run once per video (~54 of
         103 ms/video at 2B scale, BENCH_NOTES.md) and the P prompts batch
         through the LLM against the shared embeddings. Returns [B, P] fp32.
+
+        `shared_prefix_len`: the perspectives' prompts also share their first
+        `shared_prefix_len` TOKENS (system turn + all image/motion context
+        tokens; only the question text after them differs — the score CLI
+        computes this split). The LLM prefill over that prefix — the bulk of
+        the dense FLOPs (~2080 of ~2113 tokens at the serving shape) — then
+        runs ONCE per video, capturing its per-layer KV; the P suffixes ride
+        one sequence axis against the shared cache with a block-diagonal
+        causal mask (`two_part_cached_attention(block_causal=...)`), so no
+        per-perspective cache copies exist. Caller contract: the first
+        `shared_prefix_len` tokens are identical across perspectives,
+        contain ALL <IMG_CONTEXT> slots, and are unpadded.
         """
         cfg = self.config
         assert cfg.stage >= 2, "perspective scoring needs the stage-2 head"
@@ -309,6 +322,12 @@ class AIGVAssessor(nn.Module):
         c = vit_embeds.shape[-1]
         vit_embeds = vit_embeds.reshape(b, -1, c)
         motion_embeds = self.extract_motion(pixel_values)  # [B, C] — ONCE
+
+        if shared_prefix_len is not None:
+            return self._score_suffixes_on_shared_prefix(
+                input_ids, attention_mask, vit_embeds, motion_embeds,
+                shared_prefix_len, deterministic,
+            )
 
         ids_flat = input_ids.reshape(b * p, n)
         input_embeds = self.language_model.embed(ids_flat)
@@ -342,6 +361,73 @@ class AIGVAssessor(nn.Module):
         readout = jnp.nan_to_num(readout, nan=0.0, posinf=1e9, neginf=-1e9)
         score = self.mlpscore(readout)[:, 0].astype(jnp.float32)
         return score.reshape(b, p)
+
+    def _score_suffixes_on_shared_prefix(
+        self,
+        input_ids: jnp.ndarray,  # [B, P, N]
+        attention_mask: Optional[jnp.ndarray],  # [B, P, N]
+        vit_embeds: jnp.ndarray,  # [B, tok, C]
+        motion_embeds: jnp.ndarray,  # [B, C]
+        prefix_len: int,
+        deterministic: bool,
+    ) -> jnp.ndarray:
+        """Shared-prefix perspective scoring (see score_perspectives)."""
+        cfg = self.config
+        b, p, n = input_ids.shape
+        s_suf = n - prefix_len
+        assert s_suf >= -cfg.score_readout_pos, (
+            "suffix too short for the score read-out position"
+        )
+
+        # 1) prefill the common prefix ONCE per video, capturing roped K/V
+        prefix_ids = input_ids[:, 0, :prefix_len]  # identical across P
+        prefix_embeds = self.language_model.embed(prefix_ids)
+        prefix_embeds = splice_image_embeds(
+            prefix_embeds, prefix_ids, vit_embeds,
+            cfg.img_context_token_id, motion_embeds,
+        )
+        _, _, kv = self.language_model(
+            inputs_embeds=prefix_embeds,
+            deterministic=deterministic,
+            with_logits=False,
+            capture_kv=True,
+        )  # kv.k/v: [L, B, prefix_len, Hkv, d]
+
+        # 2) the P suffixes ride one sequence axis ([B, P*s_suf]) against the
+        # shared cache: block-diagonal causal among themselves, full
+        # attention to the prefix. Cache capacity covers the suffix rows the
+        # layer loop writes back (written at [prefix_len, ...), never read —
+        # valid "old" slots stop at index=prefix_len).
+        pad = [(0, 0), (0, 0), (0, p * s_suf), (0, 0), (0, 0)]
+        cache = KVCache(
+            k=jnp.pad(kv.k, pad),
+            v=jnp.pad(kv.v, pad),
+            index=jnp.asarray(prefix_len, jnp.int32),
+        )
+        suffix_ids = input_ids[:, :, prefix_len:].reshape(b, p * s_suf)
+        suffix_embeds = self.language_model.embed(suffix_ids)
+        pos = prefix_len + jnp.tile(jnp.arange(s_suf, dtype=jnp.int32), p)
+        pos = jnp.broadcast_to(pos[None], (b, p * s_suf))
+        _, hidden, _ = self.language_model(
+            inputs_embeds=suffix_embeds,
+            position_ids=pos,
+            cache=cache,
+            deterministic=deterministic,
+            with_logits=False,
+            block_causal=s_suf,
+        )  # [B, P*s_suf, C]
+
+        # 3) read-out at each perspective's (real suffix length - 4)
+        if attention_mask is not None:
+            real = attention_mask[:, :, prefix_len:].astype(jnp.int32).sum(2)
+        else:
+            real = jnp.full((b, p), s_suf, jnp.int32)
+        idx = jnp.arange(p, dtype=jnp.int32)[None] * s_suf + jnp.clip(
+            real + cfg.score_readout_pos, 0, s_suf - 1
+        )
+        readout = jnp.take_along_axis(hidden, idx[:, :, None], axis=1)  # [B,P,C]
+        readout = jnp.nan_to_num(readout, nan=0.0, posinf=1e9, neginf=-1e9)
+        return self.mlpscore(readout)[:, :, 0].astype(jnp.float32)
 
     # ------------------------------------------------------------ decoding --
 

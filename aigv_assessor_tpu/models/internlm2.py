@@ -102,6 +102,8 @@ class InternLM2Attention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         kv_mask: Optional[jnp.ndarray] = None,  # [B, max_len] bool (pad slots False)
         deterministic: bool = True,
+        capture_kv: bool = False,  # no-cache forward also returns roped (k, v)
+        block_causal: Optional[int] = None,  # see two_part_cached_attention
     ):
         cfg = self.config
         b, s, c = x.shape
@@ -129,6 +131,13 @@ class InternLM2Attention(nn.Module):
             q = qkv[:, :hq]
             k = qkv[:, hq : hq + hkv]
             q, k = apply_rope(q, k, cos, sin, position_ids, layout="bhsd")
+            # shared-prefix scoring: hand the roped k/v back in cache layout
+            # ([B, S, Hkv, d]) so the caller can stack them into a KVCache
+            new_cache = (
+                (k.transpose(0, 2, 1, 3), qkv[:, hq + hkv :].transpose(0, 2, 1, 3))
+                if capture_kv
+                else None
+            )
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
                     q, k, qkv[:, hq + hkv :], causal=True,
@@ -148,7 +157,7 @@ class InternLM2Attention(nn.Module):
                 head_major_in=True,
                 name="wo",
             )(out, deterministic)
-            return out, None
+            return out, new_cache
 
         qkv = LoRADense(
             (hq + 2 * hkv) * d,
@@ -178,15 +187,20 @@ class InternLM2Attention(nn.Module):
                 decode_kernel_supported,
             )
 
-            if s == 1 and decode_kernel_supported(hq, hkv, d, b):
+            if s == 1 and block_causal is None and decode_kernel_supported(
+                hq, hkv, d, b
+            ):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
                 ).astype(x.dtype)
             else:
                 out = two_part_cached_attention(
-                    q, k, v, cache_k, cache_v, cache_index, kv_mask
+                    q, k, v, cache_k, cache_v, cache_index, kv_mask,
+                    block_causal=block_causal,
                 ).astype(x.dtype)
         else:
+            if capture_kv:
+                new_cache = (k, v)
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
                     q, k, v, causal=True, mask=attention_mask, impl="xla"
@@ -256,6 +270,8 @@ class InternLM2DecoderLayer(nn.Module):
         cache_index=None,
         kv_mask=None,
         deterministic: bool = True,
+        capture_kv: bool = False,
+        block_causal=None,
     ):
         cfg = self.config
         attn_out, new_cache = InternLM2Attention(
@@ -271,6 +287,8 @@ class InternLM2DecoderLayer(nn.Module):
             cache_index,
             kv_mask,
             deterministic,
+            capture_kv,
+            block_causal,
         )
         x = x + attn_out
         mlp_out = InternLM2MLP(cfg, self.precision, self.lora, name="feed_forward")(
@@ -292,6 +310,8 @@ def apply_decoder_layers(
     cache: Optional[KVCache],
     kv_mask,
     deterministic: bool,
+    capture_kv: bool = False,
+    block_causal: Optional[int] = None,
 ):
     """Run a decoder-layer stack (scan-over-layers or unrolled loop) with the
     KV cache riding the scan CARRY.
@@ -300,6 +320,12 @@ def apply_decoder_layers(
     `nn.scan` (compile O(1) in depth), and at decode the cache is updated in
     place on the carry — the layer returns only its NEW k/v rows, written
     back here at [i, :, cache_index, ...]. Returns (x, new_k, new_v).
+
+    `capture_kv` (cache-free forward only): also return the per-layer roped
+    k/v stacked [L, B, S, Hkv, d] — under scan these are ordinary stacked
+    scan OUTPUTS (one [B, S, Hkv, d] write per layer, no carry aliasing
+    needed because nothing is updated in place). Feeds the shared-prefix
+    perspective scorer.
     """
     ci = cache.index if cache is not None else None
     if scan_layers:
@@ -312,13 +338,16 @@ def apply_decoder_layers(
         )
         if cache is None:
             def body(layer, carry, i):
-                y, _ = layer(
+                y, kv = layer(
                     carry, cos, sin, position_ids, attention_mask,
                     None, None, None, kv_mask, deterministic,
+                    capture_kv, block_causal,
                 )
-                return y, None
+                return y, kv
 
-            x, _ = nn.scan(body, **scan_kw)(layers, x, jnp.arange(num_layers))
+            x, kv = nn.scan(body, **scan_kw)(layers, x, jnp.arange(num_layers))
+            if capture_kv:
+                return x, kv[0], kv[1]
             return x, None, None
 
         def body(layer, carry, i):
@@ -328,6 +357,7 @@ def apply_decoder_layers(
             y, new = layer(
                 y, cos, sin, position_ids, attention_mask,
                 ck, cv, ci, kv_mask, deterministic,
+                False, block_causal,
             )
             kn, vn = new
             ck_all = lax.dynamic_update_slice(ck_all, kn[None], (i, 0, ci, 0, 0))
@@ -341,14 +371,15 @@ def apply_decoder_layers(
 
     new_k = cache.k if cache is not None else None
     new_v = cache.v if cache is not None else None
+    captured = []
     for i, layer in enumerate(layers):
         ck = new_k[i] if cache is not None else None
         cv = new_v[i] if cache is not None else None
         x, layer_cache = layer(
             x, cos, sin, position_ids, attention_mask, ck, cv, ci,
-            kv_mask, deterministic,
+            kv_mask, deterministic, capture_kv, block_causal,
         )
-        if layer_cache is not None:
+        if cache is not None and layer_cache is not None:
             kn, vn = layer_cache
             new_k = lax.dynamic_update_slice(
                 new_k, kn[None].astype(new_k.dtype), (i, 0, ci, 0, 0)
@@ -356,6 +387,11 @@ def apply_decoder_layers(
             new_v = lax.dynamic_update_slice(
                 new_v, vn[None].astype(new_v.dtype), (i, 0, ci, 0, 0)
             )
+        elif capture_kv:
+            captured.append(layer_cache)
+    if capture_kv and cache is None:
+        new_k = jnp.stack([kv[0] for kv in captured])
+        new_v = jnp.stack([kv[1] for kv in captured])
     return x, new_k, new_v
 
 
@@ -382,7 +418,8 @@ class InternLM2ForCausalLM(nn.Module):
             # prevent_cse=False: safe under scan/loop and lets XLA fold the
             # recompute into the backward schedule
             nn.remat(
-                InternLM2DecoderLayer, static_argnums=(10,), prevent_cse=False
+                InternLM2DecoderLayer, static_argnums=(10, 11, 12),
+                prevent_cse=False,
             )
             if self.remat
             else InternLM2DecoderLayer
@@ -445,6 +482,8 @@ class InternLM2ForCausalLM(nn.Module):
         deterministic: bool = True,
         rope_len: Optional[int] = None,
         with_logits: bool = True,
+        capture_kv: bool = False,
+        block_causal: Optional[int] = None,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[KVCache]]:
         cfg = self.config
         if inputs_embeds is None:
@@ -473,7 +512,7 @@ class InternLM2ForCausalLM(nn.Module):
         x, new_k, new_v = apply_decoder_layers(
             self.layers, cfg.num_hidden_layers, cfg.scan_layers,
             x, cos, sin, position_ids, attention_mask, cache, kv_mask,
-            deterministic,
+            deterministic, capture_kv, block_causal,
         )
 
         hidden = self.norm(x)
@@ -491,6 +530,11 @@ class InternLM2ForCausalLM(nn.Module):
         new_cache = None
         if cache is not None:
             new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
+        elif capture_kv:
+            # captured prefix KV ([L, B, S, Hkv, d]), ready to seed a cache
+            new_cache = KVCache(
+                k=new_k, v=new_v, index=jnp.asarray(s, jnp.int32)
+            )
         return logits, hidden, new_cache
 
 

@@ -156,7 +156,7 @@ class Phi3Attention(nn.Module):
     def __call__(
         self, x, cos, sin, position_ids, attention_mask=None,
         cache_k=None, cache_v=None, cache_index=None, kv_mask=None,
-        deterministic=True,
+        deterministic=True, capture_kv=False, block_causal=None,
     ):
         cfg = self.config
         b, s, c = x.shape
@@ -182,6 +182,11 @@ class Phi3Attention(nn.Module):
             q = qkv[:, :hq]
             k = qkv[:, hq : hq + hkv]
             q, k = apply_rope(q, k, cos, sin, position_ids, layout="bhsd")
+            new_cache = (
+                (k.transpose(0, 2, 1, 3), qkv[:, hq + hkv :].transpose(0, 2, 1, 3))
+                if capture_kv
+                else None
+            )
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
                     q, k, qkv[:, hq + hkv :], causal=True,
@@ -194,7 +199,7 @@ class Phi3Attention(nn.Module):
                 c, dtype=self.precision.compute_dtype, lora=self.lora,
                 head_major_in=True, name="o_proj",
             )(out, deterministic)
-            return out, None
+            return out, new_cache
 
         qkv = LoRADense(
             (hq + 2 * hkv) * d,
@@ -220,15 +225,20 @@ class Phi3Attention(nn.Module):
                 decode_kernel_supported,
             )
 
-            if s == 1 and decode_kernel_supported(hq, hkv, d, b):
+            if s == 1 and block_causal is None and decode_kernel_supported(
+                hq, hkv, d, b
+            ):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
                 ).astype(x.dtype)
             else:
                 out = two_part_cached_attention(
-                    q, k, v, cache_k, cache_v, cache_index, kv_mask
+                    q, k, v, cache_k, cache_v, cache_index, kv_mask,
+                    block_causal=block_causal,
                 ).astype(x.dtype)
         else:
+            if capture_kv:
+                new_cache = (k, v)
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
                     q, k, v, causal=True, mask=attention_mask, impl="xla"
@@ -282,7 +292,7 @@ class Phi3DecoderLayer(nn.Module):
     def __call__(
         self, x, cos, sin, position_ids, attention_mask=None,
         cache_k=None, cache_v=None, cache_index=None, kv_mask=None,
-        deterministic=True,
+        deterministic=True, capture_kv=False, block_causal=None,
     ):
         cfg = self.config
         attn_out, new_cache = Phi3Attention(
@@ -291,6 +301,7 @@ class Phi3DecoderLayer(nn.Module):
             RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="input_layernorm")(x),
             cos, sin, position_ids, attention_mask,
             cache_k, cache_v, cache_index, kv_mask, deterministic,
+            capture_kv, block_causal,
         )
         x = x + attn_out
         mlp_out = Phi3MLP(cfg, self.precision, self.lora, name="mlp")(
@@ -322,7 +333,9 @@ class Phi3ForCausalLM(nn.Module):
             name="embed_tokens",
         )
         layer_cls = (
-            nn.remat(Phi3DecoderLayer, static_argnums=(10,), prevent_cse=False)
+            nn.remat(
+                Phi3DecoderLayer, static_argnums=(10, 11, 12), prevent_cse=False
+            )
             if self.remat
             else Phi3DecoderLayer
         )
@@ -359,6 +372,8 @@ class Phi3ForCausalLM(nn.Module):
         deterministic: bool = True,
         rope_len: Optional[int] = None,
         with_logits: bool = True,
+        capture_kv: bool = False,
+        block_causal: Optional[int] = None,
     ):
         cfg = self.config
         if inputs_embeds is None:
@@ -376,7 +391,7 @@ class Phi3ForCausalLM(nn.Module):
         x, new_k, new_v = apply_decoder_layers(
             self.layers, cfg.num_hidden_layers, cfg.scan_layers,
             x, cos, sin, position_ids, attention_mask, cache, kv_mask,
-            deterministic,
+            deterministic, capture_kv, block_causal,
         )
         hidden = self.norm(x)
         logits = (
@@ -387,4 +402,8 @@ class Phi3ForCausalLM(nn.Module):
         new_cache = None
         if cache is not None:
             new_cache = KVCache(k=new_k, v=new_v, index=cache.index + s)
+        elif capture_kv:
+            new_cache = KVCache(
+                k=new_k, v=new_v, index=jnp.asarray(s, jnp.int32)
+            )
         return logits, hidden, new_cache

@@ -143,9 +143,16 @@ def two_part_cached_attention(
     cache_v: jnp.ndarray,
     cache_index: jnp.ndarray,  # scalar int32: valid cache rows
     kv_mask: Optional[jnp.ndarray] = None,  # [B, max_len] bool
+    block_causal: Optional[int] = None,
 ) -> jnp.ndarray:
     """Decode/prefill attention over (read-only old cache) + (current block)
     with one softmax spanning both.
+
+    `block_causal=g`: the current block is G = s/g INDEPENDENT groups of g
+    rows each — causal within a group, no attention across groups (every
+    group still attends the full cache). This serves the shared-prefix
+    perspective scorer: P perspective suffixes ride one sequence axis
+    against ONE prefix KV cache instead of P tiled cache copies.
 
     The cache is never copied here — the CALLER writes the new k/v rows at
     [cache_index, cache_index + s). The naive formulation (update the full
@@ -179,7 +186,12 @@ def two_part_cached_attention(
         "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
     ) * scale  # [B, Hkv, G, s, s]
     rows = jnp.arange(s)
-    valid_new = (rows[None, :] <= rows[:, None])[None]  # causal
+    valid_new = rows[None, :] <= rows[:, None]  # causal
+    if block_causal is not None:
+        valid_new = valid_new & (
+            (rows[:, None] // block_causal) == (rows[None, :] // block_causal)
+        )
+    valid_new = valid_new[None]
     if kv_mask is not None:
         # left-padded prefill: pad columns inside the current block
         # (slots [cache_index, cache_index+s)) are masked too

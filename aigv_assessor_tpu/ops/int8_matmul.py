@@ -126,10 +126,12 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, *, block_k2, k2_total)
     def body(i, acc):
         w_blk = w_ref[pl.ds(i * block_k2, block_k2), :]  # packed int8
         # sign-extended nibbles; shifts run in int32 (Mosaic does not
-        # legalize arith.shli on int8 vectors)
+        # legalize arith.shli on int8 vectors). w32 is already
+        # sign-extended from int8, so the HI nibble needs only ONE
+        # arithmetic shift (bit 7 == its sign bit); 3 shifts/byte total
         w32 = w_blk.astype(jnp.int32)
         lo = ((w32 << 28) >> 28).astype(xe_ref.dtype)
-        hi = ((w32 << 24) >> 28).astype(xe_ref.dtype)
+        hi = (w32 >> 4).astype(xe_ref.dtype)
         xe = xe_ref[:, pl.ds(i * block_k2, block_k2)]
         xo = xo_ref[:, pl.ds(i * block_k2, block_k2)]
         acc = acc + lax.dot_general(
@@ -244,7 +246,7 @@ def int4_dense_apply(
         k2 = kernel_int4.shape[0]
         w32 = kernel_int4.astype(jnp.int32)
         lo = (w32 << 28) >> 28
-        hi = (w32 << 24) >> 28
+        hi = w32 >> 4  # sign-extended int8: one arithmetic shift suffices
         q = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)[:k]
         w = q.astype(jnp.float32) * scale[None, :]
         y = (x2.astype(jnp.float32) @ w).astype(out_dtype)

@@ -135,16 +135,26 @@ def bench_pipeline(on_tpu: bool, batch: int | None = None):
 
 
 def bench_perspectives(on_tpu: bool, setup, single_video_time: float):
-    """4-perspective fused scoring off one shared frame encode."""
+    """4-perspective fused scoring: one shared frame encode AND one shared
+    LLM prefill per video; only the question suffixes (last `suffix` tokens,
+    like the score CLI's prompts) run per-perspective, block-causal against
+    the shared KV cache."""
     cfg, model, params, ids, px, mask, b = setup
     p = 4
+    suffix = 56 if on_tpu else 16
+    prefix_len = int(ids.shape[1]) - suffix
     ids_p = jnp.tile(ids[:, None, :], (1, p, 1))
+    tails = np.random.default_rng(1).integers(
+        10, cfg.llm.vocab_size, (1, p, suffix)
+    )
+    ids_p = ids_p.at[:, :, prefix_len:].set(jnp.asarray(tails, jnp.int32))
     mask_p = jnp.tile(mask[:, None, :], (1, p, 1))
 
     @jax.jit
     def probe(params, ids_p, px, mask_p):
         s = model.apply(
-            params, ids_p, px, mask_p, method="score_perspectives"
+            params, ids_p, px, mask_p, method="score_perspectives",
+            shared_prefix_len=prefix_len,
         )
         return jnp.sum(s.astype(jnp.float32))
 

@@ -67,6 +67,76 @@ class TestScorePerspectives:
                 err_msg=f"perspective {j} drifted from the single-prompt path",
             )
 
+    def _setup_shared_prefix(self, backbone="internlm2"):
+        """Perspective prompts sharing a real common prefix (system + all
+        IMG_CONTEXT slots), diverging only in the 'question' tail — the
+        structure the score CLI produces."""
+        cfg = AssessorConfig.tiny(stage=2).replace(img_context_token_id=4)
+        if backbone == "phi3":
+            from aigv_assessor_tpu.models.phi3 import Phi3Config
+
+            cfg = cfg.replace(llm=Phi3Config.tiny())
+        model = AIGVAssessor(cfg, Precision.fp32())
+        b, p, t, seq = 2, 3, 4, 64
+        rng = np.random.default_rng(7)
+        n_ctx = t * cfg.num_image_token + 1
+        prefix_len = 2 + n_ctx + 3  # bos-ish + context tokens + a few shared
+        ids = rng.integers(5, cfg.llm.vocab_size, (b, p, seq))
+        shared = rng.integers(5, cfg.llm.vocab_size, (b, prefix_len))
+        ids[:, :, :prefix_len] = shared[:, None, :]
+        ids[:, :, 1 : 1 + n_ctx] = cfg.img_context_token_id
+        mask = np.ones((b, p, seq), bool)
+        for j in range(p):  # ragged suffix lengths
+            if j:
+                mask[:, j, -j:] = False
+                ids[:, j, -j:] = 0
+        px = rng.normal(size=(b, t, 56, 56, 3)).astype(np.float32)
+        params = model.init(
+            jax.random.key(0),
+            jnp.asarray(ids[:, 0]),
+            jnp.asarray(px),
+            mos=jnp.zeros((b,)),
+        )
+        return cfg, model, params, ids, mask, px, prefix_len
+
+    @pytest.mark.parametrize("backbone", ["internlm2", "phi3"])
+    def test_shared_prefix_matches_plain_fused(self, backbone):
+        """One prefix prefill + block-causal suffixes == P independent runs."""
+        cfg, model, params, ids, mask, px, prefix_len = self._setup_shared_prefix(
+            backbone
+        )
+        plain = model.apply(
+            params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask),
+            method="score_perspectives",
+        )
+        shared = model.apply(
+            params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask),
+            method="score_perspectives", shared_prefix_len=prefix_len,
+        )
+        assert shared.shape == plain.shape
+        np.testing.assert_allclose(
+            np.asarray(shared), np.asarray(plain), rtol=1e-4, atol=1e-4,
+            err_msg="shared-prefix KV path drifted from the plain fused path",
+        )
+
+    def test_shared_prefix_matches_single_prompt_forward(self):
+        cfg, model, params, ids, mask, px, prefix_len = self._setup_shared_prefix()
+        b, p, seq = ids.shape
+        shared = model.apply(
+            params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask),
+            method="score_perspectives", shared_prefix_len=prefix_len,
+        )
+        for j in range(p):
+            out = model.apply(
+                params, jnp.asarray(ids[:, j]), jnp.asarray(px),
+                attention_mask=jnp.asarray(mask[:, j]), with_logits=False,
+            )
+            np.testing.assert_allclose(
+                np.asarray(shared[:, j]), np.asarray(out["score"]),
+                rtol=1e-4, atol=1e-4,
+                err_msg=f"perspective {j} drifted from the single-prompt path",
+            )
+
     def test_jit_and_finite(self):
         cfg, model, params, ids, mask, px = self._setup()
         fn = jax.jit(
