@@ -137,6 +137,29 @@ class TestScorePerspectives:
                 err_msg=f"perspective {j} drifted from the single-prompt path",
             )
 
+    def test_shared_prefix_int4_serving(self):
+        """Shared-prefix scoring composes with W4A16 quantized serving (the
+        suffix pass runs the int4 cache branch)."""
+        from aigv_assessor_tpu.models.loading import quantize_for_serving
+
+        cfg, model, params, ids, mask, px, prefix_len = self._setup_shared_prefix()
+        ref = model.apply(
+            params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask),
+            method="score_perspectives", shared_prefix_len=prefix_len,
+        )
+        qparams, prec = quantize_for_serving(params, model.precision, int4=True)
+        qmodel = AIGVAssessor(cfg, prec)
+        got = qmodel.apply(
+            qparams, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask),
+            method="score_perspectives", shared_prefix_len=prefix_len,
+        )
+        assert got.shape == ref.shape
+        assert np.all(np.isfinite(np.asarray(got)))
+        # int4 weights shift the numbers; scores must stay in the same range
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0.3, atol=0.15
+        )
+
     def test_jit_and_finite(self):
         cfg, model, params, ids, mask, px = self._setup()
         fn = jax.jit(
@@ -241,6 +264,59 @@ class TestShardedPerspectiveServing:
             fn = jax.jit(
                 lambda pr, i, x, m: model.apply(
                     pr, i, x, m, method="score_perspectives"
+                )
+            )
+            got = np.asarray(fn(sharded, batch["ids"], batch["px"], batch["mask"]))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_shared_prefix_scores_match_unsharded(self):
+        """The shared-prefix KV path (captured cache + block-causal suffixes)
+        must also run under GSPMD on the virtual mesh and match exactly."""
+        from aigv_assessor_tpu.core.mesh import MeshConfig
+        from aigv_assessor_tpu.models.loading import shard_for_inference
+        from aigv_assessor_tpu.parallel.sharding import shard_batch
+
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+
+        cfg = AssessorConfig.tiny(stage=2).replace(img_context_token_id=4)
+        model = AIGVAssessor(cfg, Precision.fp32())
+        b, p, t, seq = 8, 2, 4, 64
+        rng = np.random.default_rng(3)
+        n_ctx = t * cfg.num_image_token + 1
+        prefix_len = 2 + n_ctx + 3
+        ids = rng.integers(5, cfg.llm.vocab_size, (b, p, seq))
+        shared = rng.integers(5, cfg.llm.vocab_size, (b, prefix_len))
+        ids[:, :, :prefix_len] = shared[:, None, :]
+        ids[:, :, 1 : 1 + n_ctx] = cfg.img_context_token_id
+        mask = np.ones((b, p, seq), bool)
+        px = rng.normal(size=(b, t, 56, 56, 3)).astype(np.float32)
+        params = model.init(
+            jax.random.key(0), jnp.asarray(ids[:, 0]), jnp.asarray(px),
+            mos=jnp.zeros((b,)),
+        )
+        ref = np.asarray(
+            model.apply(
+                params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask),
+                method="score_perspectives", shared_prefix_len=prefix_len,
+            )
+        )
+        mesh, sharded = shard_for_inference(
+            params, mesh_config=MeshConfig(data=4, fsdp=2, tensor=1)
+        )
+        with mesh:
+            batch = shard_batch(
+                {
+                    "ids": jnp.asarray(ids),
+                    "px": jnp.asarray(px),
+                    "mask": jnp.asarray(mask),
+                },
+                mesh,
+            )
+            fn = jax.jit(
+                lambda pr, i, x, m: model.apply(
+                    pr, i, x, m, method="score_perspectives",
+                    shared_prefix_len=prefix_len,
                 )
             )
             got = np.asarray(fn(sharded, batch["ids"], batch["px"], batch["mask"]))
