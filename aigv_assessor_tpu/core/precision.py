@@ -32,6 +32,12 @@ class Precision:
     # (`ops/int8_matmul.int4_matmul`) — quarter weight-streaming bytes,
     # the `load_in_4bit` counterpart
     int4_weights: bool = False
+    # int8 KV cache (`ops/kv_quant.py`): halves the per-sample cache
+    # bytes/footprint at decode — the second bandwidth term after the
+    # batch-amortized weight stream, and what bounds batch/context for
+    # 7B-class serving on a 16 GB chip. No reference counterpart (HF fp16
+    # past_key_values); composes with int8/int4 weights.
+    kv_int8: bool = False
 
     def cast_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)

@@ -141,7 +141,10 @@ def generate(
     else:
         embeds = model.apply(params, input_ids, method="embed_tokens")
 
-    cache = KVCache.init(model.config.llm, b, max_len)
+    cache = KVCache.init(
+        model.config.llm, b, max_len,
+        quantized=getattr(model.precision, "kv_int8", False),
+    )
     kv_mask = jnp.ones((b, max_len), bool)
     if attention_mask is None:
         position_ids = None
@@ -341,7 +344,10 @@ def stream_chat(
         )
     else:
         embeds = model.apply(params, ids, method="embed_tokens")
-    cache = KVCache.init(model.config.llm, 1, max_len)
+    cache = KVCache.init(
+        model.config.llm, 1, max_len,
+        quantized=getattr(model.precision, "kv_int8", False),
+    )
     logits, _, cache = model.apply(params, embeds, cache, method="prefill")
     token = int(jnp.argmax(logits[0, -1]))
     generated = []

@@ -57,14 +57,26 @@ class KVCache:
     """Fixed-capacity KV cache (pytree), stacked over layers.
 
     k/v are single [L, B, max_len, Hkv, d] arrays: the layer dim scans
-    cleanly under `nn.scan` and indexes as `cache.k[i]` in the loop path."""
+    cleanly under `nn.scan` and indexes as `cache.k[i]` in the loop path.
+
+    int8 mode (`quantized=True`, `ops/kv_quant.py`): k/v hold
+    `(int8 data, fp32 scale [L, B, max_len, Hkv])` tuples instead — half
+    the cache HBM bytes/footprint. Pytrees thread the tuples through the
+    scan carry and the decode while-loop unchanged."""
 
     k: Any  # [L, B, max_len, Hkv, d]
     v: Any
     index: jnp.ndarray  # scalar int32: number of valid positions
 
     @classmethod
-    def init(cls, config: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    def init(
+        cls,
+        config: LLMConfig,
+        batch: int,
+        max_len: int,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
+    ):
         shape = (
             config.num_hidden_layers,
             batch,
@@ -72,6 +84,14 @@ class KVCache:
             config.num_key_value_heads,
             config.head_dim,
         )
+        if quantized:
+            def kv():
+                return (
+                    jnp.zeros(shape, jnp.int8),
+                    jnp.ones(shape[:-1], jnp.float32),
+                )
+
+            return cls(k=kv(), v=kv(), index=jnp.zeros((), jnp.int32))
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -181,14 +201,22 @@ class InternLM2Attention(nn.Module):
             # ops/attention.py:two_part_cached_attention for why). Single-
             # token decode on TPU goes through the Pallas kernel, which
             # reads only each sample's valid cache window (ragged batches).
-            new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+            if isinstance(cache_k, tuple):  # int8 cache: quantize new rows
+                from aigv_assessor_tpu.ops.kv_quant import quantize_kv_rows
+
+                new_cache = (quantize_kv_rows(k), quantize_kv_rows(v))
+            else:
+                new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
             from aigv_assessor_tpu.ops.decode_attention import (
                 cached_decode_attention,
                 decode_kernel_supported,
             )
 
-            if s == 1 and block_causal is None and decode_kernel_supported(
-                hq, hkv, d, b
+            if (
+                s == 1
+                and block_causal is None
+                and not isinstance(cache_k, tuple)
+                and decode_kernel_supported(hq, hkv, d, b)
             ):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
@@ -326,7 +354,28 @@ def apply_decoder_layers(
     scan OUTPUTS (one [B, S, Hkv, d] write per layer, no carry aliasing
     needed because nothing is updated in place). Feeds the shared-prefix
     perspective scorer.
+
+    int8 caches hold `(data, scale)` tuples per k/v slot; the index/write
+    helpers tree-map over the components (scale arrays are one dim shorter,
+    hence the rank-generic start indices).
     """
+
+    def index_layer(c_all, i):
+        return jax.tree_util.tree_map(
+            lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False), c_all
+        )
+
+    def write_rows(c_all, new, i, at):
+        # new rows land at [i, :, at, ...]; works for [L,B,max,Hkv,d] data
+        # and [L,B,max,Hkv] scales alike
+        return jax.tree_util.tree_map(
+            lambda a, n: lax.dynamic_update_slice(
+                a, n[None].astype(a.dtype), (i, 0, at) + (0,) * (a.ndim - 3)
+            ),
+            c_all,
+            new,
+        )
+
     ci = cache.index if cache is not None else None
     if scan_layers:
         scan_kw = dict(
@@ -352,16 +401,16 @@ def apply_decoder_layers(
 
         def body(layer, carry, i):
             y, ck_all, cv_all = carry
-            ck = lax.dynamic_index_in_dim(ck_all, i, 0, keepdims=False)
-            cv = lax.dynamic_index_in_dim(cv_all, i, 0, keepdims=False)
+            ck = index_layer(ck_all, i)
+            cv = index_layer(cv_all, i)
             y, new = layer(
                 y, cos, sin, position_ids, attention_mask,
                 ck, cv, ci, kv_mask, deterministic,
                 False, block_causal,
             )
             kn, vn = new
-            ck_all = lax.dynamic_update_slice(ck_all, kn[None], (i, 0, ci, 0, 0))
-            cv_all = lax.dynamic_update_slice(cv_all, vn[None], (i, 0, ci, 0, 0))
+            ck_all = write_rows(ck_all, kn, i, ci)
+            cv_all = write_rows(cv_all, vn, i, ci)
             return (y, ck_all, cv_all), None
 
         (x, new_k, new_v), _ = nn.scan(body, **scan_kw)(
@@ -373,20 +422,16 @@ def apply_decoder_layers(
     new_v = cache.v if cache is not None else None
     captured = []
     for i, layer in enumerate(layers):
-        ck = new_k[i] if cache is not None else None
-        cv = new_v[i] if cache is not None else None
+        ck = index_layer(new_k, i) if cache is not None else None
+        cv = index_layer(new_v, i) if cache is not None else None
         x, layer_cache = layer(
             x, cos, sin, position_ids, attention_mask, ck, cv, ci,
             kv_mask, deterministic, capture_kv, block_causal,
         )
         if cache is not None and layer_cache is not None:
             kn, vn = layer_cache
-            new_k = lax.dynamic_update_slice(
-                new_k, kn[None].astype(new_k.dtype), (i, 0, ci, 0, 0)
-            )
-            new_v = lax.dynamic_update_slice(
-                new_v, vn[None].astype(new_v.dtype), (i, 0, ci, 0, 0)
-            )
+            new_k = write_rows(new_k, kn, i, ci)
+            new_v = write_rows(new_v, vn, i, ci)
         elif capture_kv:
             captured.append(layer_cache)
     if capture_kv and cache is None:
@@ -497,7 +542,12 @@ class InternLM2ForCausalLM(nn.Module):
 
         # static rope table length: cache capacity when decoding, else seq len
         if rope_len is None:
-            rope_len = cache.k[0].shape[1] if cache is not None else s
+            rope_len = s
+            if cache is not None:
+                # int8 caches hold (data, scale); either way the
+                # stacked data is [L, B, max_len, ...]
+                kd = cache.k[0] if isinstance(cache.k, tuple) else cache.k
+                rope_len = kd.shape[2]
         rs = cfg.rope_scaling
         cos, sin = rope_cos_sin(
             rope_len,

@@ -28,9 +28,13 @@ def load_model_and_tokenizer(
     precision: Optional[Precision] = None,
     int8: bool = False,
     int4: bool = False,
+    kv_int8: bool = False,
 ) -> Tuple[AssessorConfig, AIGVAssessor, dict, AIGVTokenizer]:
     """Load (config, model, params, tokenizer) from a checkpoint directory
-    containing config.json + params.msgpack + tokenizer.json."""
+    containing config.json + params.msgpack + tokenizer.json.
+
+    kv_int8: serve generation with an int8 KV cache (`ops/kv_quant.py`) —
+    half the cache HBM bytes/footprint; composes with int8/int4 weights."""
     config = AssessorConfig.from_json(os.path.join(path, "config.json"))
     config = config.replace(stage=stage)
     tokenizer = AIGVTokenizer.from_pretrained(path)
@@ -43,7 +47,8 @@ def load_model_and_tokenizer(
         params = serialization.msgpack_restore(f.read())
 
     params, precision = quantize_for_serving(
-        params, precision or Precision(), int8=int8, int4=int4
+        params, precision or Precision(), int8=int8, int4=int4,
+        kv_int8=kv_int8,
     )
     model = AIGVAssessor(config, precision)
     params = adapt_layer_format(params, config)
@@ -51,7 +56,11 @@ def load_model_and_tokenizer(
 
 
 def quantize_for_serving(
-    params, precision: Precision, int8: bool = False, int4: bool = False
+    params,
+    precision: Precision,
+    int8: bool = False,
+    int4: bool = False,
+    kv_int8: bool = False,
 ) -> Tuple[dict, Precision]:
     """Convert a parameter tree and Precision for quantized serving.
 
@@ -96,6 +105,8 @@ def quantize_for_serving(
         from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_tree
 
         params = dequantize_tree(params)
+    if kv_int8:
+        precision = dataclasses.replace(precision, kv_int8=True)
     return params, precision
 
 

@@ -219,14 +219,22 @@ class Phi3Attention(nn.Module):
             # read-only two-part cached attention; the caller (scan carry)
             # writes the new rows — no per-layer full-cache copy. Single-
             # token decode on TPU uses the Pallas ragged-window kernel.
-            new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+            if isinstance(cache_k, tuple):  # int8 cache: quantize new rows
+                from aigv_assessor_tpu.ops.kv_quant import quantize_kv_rows
+
+                new_cache = (quantize_kv_rows(k), quantize_kv_rows(v))
+            else:
+                new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
             from aigv_assessor_tpu.ops.decode_attention import (
                 cached_decode_attention,
                 decode_kernel_supported,
             )
 
-            if s == 1 and block_causal is None and decode_kernel_supported(
-                hq, hkv, d, b
+            if (
+                s == 1
+                and block_causal is None
+                and not isinstance(cache_k, tuple)
+                and decode_kernel_supported(hq, hkv, d, b)
             ):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
@@ -384,7 +392,12 @@ class Phi3ForCausalLM(nn.Module):
             position_ids = start + jnp.arange(s, dtype=jnp.int32)[None, :]
             position_ids = jnp.broadcast_to(position_ids, (b, s))
         if rope_len is None:
-            rope_len = cache.k[0].shape[1] if cache is not None else s
+            rope_len = s
+            if cache is not None:
+                # int8 caches hold (data, scale); either way the
+                # stacked data is [L, B, max_len, ...]
+                kd = cache.k[0] if isinstance(cache.k, tuple) else cache.k
+                rope_len = kd.shape[2]
         cos, sin = phi3_rope_tables(cfg, rope_len)
 
         x = inputs_embeds.astype(self.precision.compute_dtype)

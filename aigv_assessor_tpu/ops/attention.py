@@ -139,8 +139,8 @@ def two_part_cached_attention(
     q: jnp.ndarray,  # [B, S, Hq, D] (current block, rope applied)
     k: jnp.ndarray,  # [B, S, Hkv, D] (current block, rope applied)
     v: jnp.ndarray,  # [B, S, Hkv, D]
-    cache_k: jnp.ndarray,  # [B, max_len, Hkv, D] (read-only)
-    cache_v: jnp.ndarray,
+    cache_k,  # [B, max_len, Hkv, D] (read-only) or (int8 data, fp32 scale)
+    cache_v,
     cache_index: jnp.ndarray,  # scalar int32: valid cache rows
     kv_mask: Optional[jnp.ndarray] = None,  # [B, max_len] bool
     block_causal: Optional[int] = None,
@@ -161,7 +161,18 @@ def two_part_cached_attention(
     scanned *outputs* are not aliased while scan *carries* are
     (BENCH_NOTES.md decode section). Replaces the reference's FA2 varlen
     decode path (`modeling_internlm2.py:444-614`).
+
+    int8 cache (`ops/kv_quant.py`): cache_k/cache_v arrive as
+    `(int8 [B, max_len, Hkv, d], fp32 [B, max_len, Hkv])` tuples. The int8
+    data feeds the dots directly (half the HBM bytes of bf16); the K scale
+    multiplies the LOGITS per kv position/head, and the V scale folds into
+    the softmax probabilities before the PV dot, so no dequantized copy of
+    the cache ever materializes. The current block's k/v stay unquantized.
     """
+    k_scale = v_scale = None
+    if isinstance(cache_k, tuple):
+        cache_k, k_scale = cache_k
+        cache_v, v_scale = cache_v
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     g = hq // hkv
@@ -170,8 +181,13 @@ def two_part_cached_attention(
     neg = jnp.float32(-1e30)
 
     lo = jnp.einsum(
-        "bqhgd,bkhd->bhgqk", qg, cache_k, preferred_element_type=jnp.float32
+        "bqhgd,bkhd->bhgqk",
+        qg,
+        cache_k.astype(qg.dtype) if k_scale is not None else cache_k,
+        preferred_element_type=jnp.float32,
     ) * scale  # [B, Hkv, G, s, max_len]
+    if k_scale is not None:
+        lo = lo * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     slots = jnp.arange(cache_k.shape[1])
     # slots are fill-ordered: everything before cache_index is past
     valid_old = slots[None, :] < cache_index
@@ -206,7 +222,15 @@ def two_part_cached_attention(
     po = jnp.exp(lo - m)
     pn = jnp.exp(ln - m)
     denom = po.sum(-1, keepdims=True) + pn.sum(-1, keepdims=True)
-    po = (po / denom).astype(cache_v.dtype)
+    po = po / denom
+    if v_scale is not None:
+        # fold the per-(position, head) V scale into the probabilities so
+        # the PV contraction consumes the int8 cache directly
+        po = po * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+        po = po.astype(v.dtype)
+        cache_v = cache_v.astype(v.dtype)
+    else:
+        po = po.astype(cache_v.dtype)
     pn = (pn / denom).astype(v.dtype)
     ctx = jnp.einsum(
         "bhgqk,bkhd->bqhgd", po, cache_v, preferred_element_type=jnp.float32

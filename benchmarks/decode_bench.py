@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--int4", action="store_true",
                     help="W4A16: nibble-packed int4 LLM weights, unpacked "
                          "in-kernel (ops/int8_matmul.int4_matmul)")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache (ops/kv_quant.py): halves the "
+                         "per-sample cache read — the second bandwidth term "
+                         "at batched decode — and the cache footprint")
     args = ap.parse_args()
 
     from aigv_assessor_tpu.cli.common import LLM_2B
@@ -58,7 +62,8 @@ def main():
     else:
         cfg = AssessorConfig.tiny(stage=1).replace(img_context_token_id=7)
 
-    precision = Precision(int8_weights=args.int8, int4_weights=args.int4)
+    precision = Precision(int8_weights=args.int8, int4_weights=args.int4,
+                          kv_int8=args.kv_int8)
     model = AIGVAssessor(cfg, precision)
     b = args.batch
     maxlen = args.prefill + args.new_tokens
@@ -76,7 +81,7 @@ def main():
         shapes,
     )
 
-    cache = KVCache.init(cfg.llm, b, maxlen)
+    cache = KVCache.init(cfg.llm, b, maxlen, quantized=args.kv_int8)
     cache = KVCache(
         k=cache.k, v=cache.v, index=jnp.asarray(args.prefill, jnp.int32)
     )
@@ -87,7 +92,7 @@ def main():
     gcfg = GenerationConfig(max_new_tokens=args.new_tokens, eos_token_id=-1)
 
     print(f"compile+warm decode_loop ({args.scale}, int8={args.int8}, "
-          f"int4={args.int4})...",
+          f"int4={args.int4}, kv_int8={args.kv_int8})...",
           flush=True)
     out = decode_loop(model, params, first, cache, start, kv_mask, rng, gcfg)
     _ = np.asarray(out)  # full sync through the tunnel
@@ -109,6 +114,7 @@ def main():
                 "scale": args.scale,
                 "int8": args.int8,
                 "int4": args.int4,
+                "kv_int8": args.kv_int8,
                 "ms_per_token": round(per_token * 1e3, 2),
             }
         )
