@@ -295,11 +295,15 @@ def bench_train_step(on_tpu: bool, stage: int):
     return b / per_step, samples
 
 
-def bench_decode(on_tpu: bool, int4: bool = False):
-    """2B bs=1 fixed-cache decode loop, tokens/sec. int4=True runs the
-    W4A16 serving path (nibble-packed weights, in-kernel unpack) — the
-    only measured config past the 217 tok/s bf16 weight-bandwidth ceiling
-    (BENCH_NOTES.md round 3)."""
+def bench_decode(on_tpu: bool, int4: bool = False, kv_int8: bool = False,
+                 batch: int = 1):
+    """2B fixed-cache decode loop, batch-aggregate tokens/sec. int4=True
+    runs the W4A16 serving path (nibble-packed weights, in-kernel unpack) —
+    the only measured config past the 217 tok/s bf16 weight-bandwidth
+    ceiling. kv_int8=True stores the cache int8 (`ops/kv_quant.py`): at
+    batched decode the per-sample cache read rivals the batch-amortized
+    weight stream, so halving it compounds with int4 weights
+    (BENCH_NOTES.md round 3: bs=8 1300 -> 1559, bs=32 2338 -> 3373)."""
     import dataclasses
 
     from aigv_assessor_tpu.cli.common import LLM_2B
@@ -320,8 +324,10 @@ def bench_decode(on_tpu: bool, int4: bool = False):
         Precision.fp32(), jnp.float32)
     if int4:
         prec = dataclasses.replace(prec, int4_weights=True)
+    if kv_int8:
+        prec = dataclasses.replace(prec, kv_int8=True)
     model = AIGVAssessor(cfg, prec)
-    b = 1
+    b = batch
     maxlen = prefill + new_tokens
     shapes = jax.eval_shape(
         model.init,
@@ -330,7 +336,7 @@ def bench_decode(on_tpu: bool, int4: bool = False):
         jnp.zeros((b, 1, img, img, 3), fdt),
     )
     params = _zero_params_like(shapes, fdt)
-    cache = KVCache.init(cfg.llm, b, maxlen)
+    cache = KVCache.init(cfg.llm, b, maxlen, quantized=kv_int8)
     cache = KVCache(k=cache.k, v=cache.v, index=jnp.asarray(prefill, jnp.int32))
     kv_mask = jnp.ones((b, maxlen), bool)
     start = jnp.full((b,), prefill, jnp.int32)
@@ -351,7 +357,7 @@ def bench_decode(on_tpu: bool, int4: bool = False):
         toks = run()
         np.asarray(toks)
         dt = time.perf_counter() - t0
-        samples.append(new_tokens / dt)
+        samples.append(b * new_tokens / dt)
     return float(np.median(samples)), samples
 
 
@@ -418,6 +424,15 @@ def main() -> None:
             record["decode_tokens_per_sec_int4"] = round(tok_s, 2)
         except Exception as e:  # pragma: no cover
             record["decode_int4_error"] = repr(e)[:200]
+        gc.collect()
+        jax.clear_caches()
+        try:
+            tok_s, _ = bench_decode(
+                on_tpu, int4=True, kv_int8=True, batch=8 if on_tpu else 2
+            )
+            record["decode_bs8_tokens_per_sec_int4_kv8"] = round(tok_s, 2)
+        except Exception as e:  # pragma: no cover
+            record["decode_kv8_error"] = repr(e)[:200]
 
     print(json.dumps(record))
 
