@@ -107,7 +107,10 @@ def int8_matmul(
     return out[:m, :n]
 
 
-def _int4_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, *, block_k2, k2_total):
+def _int4_kernel(
+    xe_ref, xo_ref, w_ref, scale_ref, o_ref, *, block_k2, k2_total,
+    unpack_dtype=jnp.int32,
+):
     """W4A16 matmul with in-kernel nibble unpack.
 
     xe/xo [BM, K/2] bf16 (even / odd rows of the activation's K dim);
@@ -123,15 +126,18 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, *, block_k2, k2_total)
     bn = w_ref.shape[1]
     nk = _cdiv(k2_total, block_k2)
 
+    sh = 8 * jnp.dtype(unpack_dtype).itemsize - 4
+
     def body(i, acc):
         w_blk = w_ref[pl.ds(i * block_k2, block_k2), :]  # packed int8
-        # sign-extended nibbles; shifts run in int32 (Mosaic does not
-        # legalize arith.shli on int8 vectors). w32 is already
-        # sign-extended from int8, so the HI nibble needs only ONE
-        # arithmetic shift (bit 7 == its sign bit); 3 shifts/byte total
-        w32 = w_blk.astype(jnp.int32)
-        lo = ((w32 << 28) >> 28).astype(xe_ref.dtype)
-        hi = (w32 >> 4).astype(xe_ref.dtype)
+        # sign-extended nibbles; shifts run in a wider int type (Mosaic
+        # does not legalize arith.shli on int8 vectors — int32 and int16
+        # both lower; int16 processes 2x lanes per VPU op). The widened
+        # value is sign-extended from int8, so the HI nibble needs only
+        # ONE arithmetic shift (bit 7 == its sign bit); 3 shifts/byte
+        wi = w_blk.astype(unpack_dtype)
+        lo = ((wi << sh) >> sh).astype(xe_ref.dtype)
+        hi = (wi >> 4).astype(xe_ref.dtype)
         xe = xe_ref[:, pl.ds(i * block_k2, block_k2)]
         xo = xo_ref[:, pl.ds(i * block_k2, block_k2)]
         acc = acc + lax.dot_general(
@@ -149,7 +155,10 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, *, block_k2, k2_total)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+    static_argnames=(
+        "block_m", "block_n", "block_k", "out_dtype", "interpret",
+        "unpack_dtype",
+    ),
 )
 def int4_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
@@ -160,6 +169,7 @@ def int4_matmul(
     block_k: int | None = None,  # in UNPACKED k units
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    unpack_dtype=jnp.int32,
 ) -> jnp.ndarray:
     m, k = x.shape
     k2, n = w_packed.shape
@@ -203,7 +213,10 @@ def int4_matmul(
     scale2 = scale.reshape(1, n_pad).astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_int4_kernel, block_k2=bk2, k2_total=k2_pad),
+        functools.partial(
+            _int4_kernel, block_k2=bk2, k2_total=k2_pad,
+            unpack_dtype=unpack_dtype,
+        ),
         grid=(m_pad // bm, n_pad // bn),
         in_specs=[
             pl.BlockSpec((bm, k2_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

@@ -262,7 +262,12 @@ def bench_train_step(on_tpu: bool, stage: int):
     # originals or both trees stay live and OOM the 16 GB chip
     del params, shapes
     step = trainer.compiled_step()
-    mb = microbatch(batch, 1)
+    # ship the microbatch to the device ONCE: feeding host numpy re-sends
+    # ~38 MB per step through the tunnel, whose bandwidth oscillates ~6x on
+    # ~1 min periods — it turned the slope samples bimodal (0.6 vs 4.0
+    # s/step). Real training prefetches via the data loader, so the step
+    # bench should measure device throughput (0.431 s/step, stable ±0.5%).
+    mb = jax.device_put(microbatch(batch, 1))
     key = jax.random.key(0)
 
     state = trainer.state
