@@ -219,12 +219,9 @@ class Phi3Attention(nn.Module):
             # read-only two-part cached attention; the caller (scan carry)
             # writes the new rows — no per-layer full-cache copy. Single-
             # token decode on TPU uses the Pallas ragged-window kernel.
-            if isinstance(cache_k, tuple):  # int8 cache: quantize new rows
-                from aigv_assessor_tpu.ops.kv_quant import quantize_kv_rows
+            from aigv_assessor_tpu.ops.kv_quant import is_quantized, make_cache_rows
 
-                new_cache = (quantize_kv_rows(k), quantize_kv_rows(v))
-            else:
-                new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+            new_cache = make_cache_rows(k, v, cache_k, cache_v)
             from aigv_assessor_tpu.ops.decode_attention import (
                 cached_decode_attention,
                 decode_kernel_supported,
@@ -233,7 +230,7 @@ class Phi3Attention(nn.Module):
             if (
                 s == 1
                 and block_causal is None
-                and not isinstance(cache_k, tuple)
+                and not is_quantized(cache_k)
                 and decode_kernel_supported(hq, hkv, d, b)
             ):
                 out = cached_decode_attention(
@@ -396,7 +393,9 @@ class Phi3ForCausalLM(nn.Module):
             if cache is not None:
                 # int8 caches hold (data, scale); either way the
                 # stacked data is [L, B, max_len, ...]
-                kd = cache.k[0] if isinstance(cache.k, tuple) else cache.k
+                from aigv_assessor_tpu.ops.kv_quant import is_quantized
+
+                kd = cache.k[0] if is_quantized(cache.k) else cache.k
                 rope_len = kd.shape[2]
         cos, sin = phi3_rope_tables(cfg, rope_len)
 

@@ -169,8 +169,10 @@ def two_part_cached_attention(
     the softmax probabilities before the PV dot, so no dequantized copy of
     the cache ever materializes. The current block's k/v stay unquantized.
     """
+    from aigv_assessor_tpu.ops.kv_quant import is_quantized
+
     k_scale = v_scale = None
-    if isinstance(cache_k, tuple):
+    if is_quantized(cache_k):
         cache_k, k_scale = cache_k
         cache_v, v_scale = cache_v
     b, s, hq, d = q.shape

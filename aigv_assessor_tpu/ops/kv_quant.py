@@ -52,3 +52,12 @@ def quantize_kv_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def dequantize_kv_rows(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.float32):
     """Inverse of `quantize_kv_rows` (tests / fallback paths)."""
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def make_cache_rows(k, v, cache_k, cache_v):
+    """The new k/v rows an attention layer hands back for the caller to
+    write into the cache: quantized when the cache is, cast to the cache
+    dtype otherwise. Shared by both decoder backbones."""
+    if is_quantized(cache_k):
+        return quantize_kv_rows(k), quantize_kv_rows(v)
+    return k.astype(cache_k.dtype), v.astype(cache_v.dtype)

@@ -432,9 +432,7 @@ def main() -> None:
         gc.collect()
         jax.clear_caches()
         try:
-            tok_s, _ = bench_decode(
-                on_tpu, int4=True, kv_int8=True, batch=8 if on_tpu else 2
-            )
+            tok_s, _ = bench_decode(on_tpu, int4=True, kv_int8=True, batch=8)
             record["decode_bs8_tokens_per_sec_int4_kv8"] = round(tok_s, 2)
         except Exception as e:  # pragma: no cover
             record["decode_kv8_error"] = repr(e)[:200]
