@@ -386,11 +386,20 @@ class AIGVAssessor(nn.Module):
             prefix_embeds, prefix_ids, vit_embeds,
             cfg.img_context_token_id, motion_embeds,
         )
+        # BOTH passes must build their rotary tables from the same length:
+        # the suffix pass derives rope_len from its cache CAPACITY
+        # (prefix_len + p*s_suf), and scaled-rope variants (dynamic-NTK,
+        # Phi-3 su/longrope) change the frequency tables with the table
+        # length — a capture pass defaulting to rope_len=prefix_len would
+        # rope the cached keys with different frequencies than the suffix
+        # queries once the capacity crosses the scaling threshold.
+        rope_len = prefix_len + p * s_suf
         _, _, kv = self.language_model(
             inputs_embeds=prefix_embeds,
             deterministic=deterministic,
             with_logits=False,
             capture_kv=True,
+            rope_len=rope_len,
         )  # kv.k/v: [L, B, prefix_len, Hkv, d]
 
         # 2) the P suffixes ride one sequence axis ([B, P*s_suf]) against the

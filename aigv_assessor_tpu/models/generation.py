@@ -58,6 +58,28 @@ def _sample_token(logits, rng, gcfg: GenerationConfig):
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+@partial(jax.jit, static_argnums=(0, 4))
+def _embed_and_prefill(
+    model, params, input_ids, pixel_values, with_motion, cache,
+    position_ids, kv_mask,
+):
+    """Multimodal embed + prompt prefill as ONE compiled program: the ViT
+    encode, SlowFast, splice and the full-prompt pass fuse under a single
+    jit instead of dispatching op-by-op (recompiles per prompt length, like
+    the decode loop per cache capacity)."""
+    if pixel_values is not None:
+        embeds = model.apply(
+            params, input_ids, pixel_values,
+            method="embed_multimodal", with_motion=with_motion,
+        )
+    else:
+        embeds = model.apply(params, input_ids, method="embed_tokens")
+    return model.apply(
+        params, embeds, cache, position_ids=position_ids, kv_mask=kv_mask,
+        method="prefill",
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 7))
 def decode_loop(
     model,
@@ -130,17 +152,6 @@ def generate(
     b, s = input_ids.shape
     max_len = max_cache_len or (s + gcfg.max_new_tokens)
 
-    if pixel_values is not None:
-        embeds = model.apply(
-            params,
-            input_ids,
-            jnp.asarray(pixel_values),
-            method="embed_multimodal",
-            with_motion=with_motion,
-        )
-    else:
-        embeds = model.apply(params, input_ids, method="embed_tokens")
-
     cache = KVCache.init(
         model.config.llm, b, max_len,
         quantized=getattr(model.precision, "kv_int8", False),
@@ -156,15 +167,13 @@ def generate(
         position_ids = jnp.clip(jnp.cumsum(am, axis=1) - 1, 0)
         start_pos = am.sum(axis=1)
         kv_mask = kv_mask.at[:, :s].set(am.astype(bool))
-    logits, _, cache = model.apply(
-        params,
-        embeds,
-        cache,
-        position_ids=position_ids,
-        kv_mask=kv_mask,
-        method="prefill",
+    logits, _, cache = _embed_and_prefill(
+        model, params, input_ids,
+        jnp.asarray(pixel_values) if pixel_values is not None else None,
+        with_motion, cache, position_ids, kv_mask,
     )
-    first = _sample_token(logits[:, -1, :], rng, gcfg)
+    rng, first_rng = jax.random.split(rng)  # single-use keys
+    first = _sample_token(logits[:, -1, :], first_rng, gcfg)
     tokens = decode_loop(
         model, params, first, cache, start_pos, kv_mask, rng, gcfg
     )
@@ -337,18 +346,15 @@ def stream_chat(
     s = ids.shape[1]
     max_len = s + gcfg.max_new_tokens
 
-    if pixel_values is not None:
-        embeds = model.apply(
-            params, ids, jnp.asarray(pixel_values[None]),
-            method="embed_multimodal", with_motion=with_motion,
-        )
-    else:
-        embeds = model.apply(params, ids, method="embed_tokens")
     cache = KVCache.init(
         model.config.llm, 1, max_len,
         quantized=getattr(model.precision, "kv_int8", False),
     )
-    logits, _, cache = model.apply(params, embeds, cache, method="prefill")
+    logits, _, cache = _embed_and_prefill(
+        model, params, ids,
+        jnp.asarray(pixel_values[None]) if pixel_values is not None else None,
+        with_motion, cache, None, None,
+    )
     token = int(jnp.argmax(logits[0, -1]))
     generated = []
     for i in range(gcfg.max_new_tokens):

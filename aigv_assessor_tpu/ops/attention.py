@@ -65,11 +65,15 @@ def xla_attention(
         causal_mask = kj <= qi  # [Sq, Skv]
         logits = jnp.where(causal_mask[None, None, None], logits, _NEG_INF)
     if mask is not None:
+        if mask.ndim == 4:
+            # per-head mask [B, Hq, Sq, Skv]: regroup to the grouped-query
+            # layout so it broadcasts against logits [B, Hkv, G, Sq, Skv]
+            m = mask.reshape(b, hkv, g, sq, skv)
+        else:
+            m = mask[:, None, None, :, :]
         if mask.dtype == jnp.bool_:
-            m = mask[:, :, None] if mask.ndim == 4 else mask[:, None, None, :, :]
             logits = jnp.where(m, logits, _NEG_INF)
         else:
-            m = mask[:, :, None] if mask.ndim == 4 else mask[:, None, None, :, :]
             logits = logits + m.astype(jnp.float32)
 
     probs = jax.nn.softmax(logits, axis=-1)
@@ -112,7 +116,10 @@ def multi_head_attention(
     else:
         q4, k4, v4 = q, k, v
     use_pallas = impl == "pallas" or (impl is None and _on_tpu())
-    if use_pallas:
+    # the causal kernel assumes self-attention geometry; causal with
+    # sq != skv (decode offset) is an XLA-path feature
+    causal_cross = causal and q4.shape[1] != k4.shape[1]
+    if use_pallas and not causal_cross:
         from aigv_assessor_tpu.ops import pallas_attention
 
         if pallas_attention.supported(q4, k4, v4, mask):
@@ -120,11 +127,12 @@ def multi_head_attention(
                 q, k, v, causal=causal, mask=mask, scale=scale,
                 layout=layout, kv_valid=kv_valid,
             )
-        if impl == "pallas":
-            raise ValueError(
-                f"pallas flash attention unsupported for shapes q={q.shape} "
-                f"k={k.shape} mask={None if mask is None else mask.shape}"
-            )
+    if impl == "pallas":
+        raise ValueError(
+            f"pallas flash attention unsupported for shapes q={q.shape} "
+            f"k={k.shape} causal={causal} "
+            f"mask={None if mask is None else mask.shape}"
+        )
     if kv_valid is not None and kv_valid < k4.shape[1]:
         assert mask is None, "kv_valid composes with mask only on the pallas path"
         m = jnp.arange(k4.shape[1]) < kv_valid

@@ -17,6 +17,8 @@ from __future__ import annotations
 import functools
 import jax
 import jax.numpy as jnp
+
+from aigv_assessor_tpu.ops.attention import _on_tpu
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -45,9 +47,10 @@ def _kernel(x_ref, w_ref, scale_ref, o_ref, *, block_k, k_total):
     o_ref[...] = (acc * scale_ref[0, :][None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "block_k", "out_dtype")
-)
+# NOT jax.jit-wrapped: callers run these inside the model's jit, and a
+# nested jit is a fusion boundary (measured +3.7 ms/layer on the ViT —
+# ops/attention.py:82). Standalone benchmarks wrap them in jax.jit
+# themselves; every non-array argument is a static Python value either way.
 def int8_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
     w_int8: jnp.ndarray,  # [K, N] int8
@@ -153,13 +156,6 @@ def _int4_kernel(
     o_ref[...] = (acc * scale_ref[0, :][None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "block_m", "block_n", "block_k", "out_dtype", "interpret",
-        "unpack_dtype",
-    ),
-)
 def int4_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
     w_packed: jnp.ndarray,  # [ceil(K/2), N] int8 (nibble-packed int4)
@@ -273,15 +269,6 @@ def quantize_weight(w: jnp.ndarray):
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return q, scale[0].astype(jnp.float32)
-
-
-def _on_tpu() -> bool:
-    try:
-        if jax.default_backend() == "tpu":
-            return True
-        return "tpu" in getattr(jax.devices()[0], "device_kind", "").lower()
-    except Exception:  # pragma: no cover
-        return False
 
 
 def int8_dense_apply(

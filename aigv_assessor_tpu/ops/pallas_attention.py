@@ -130,11 +130,16 @@ def _fwd_kernel(
             # score exactly 0 and contribute n_pad * exp2(-m) of softmax
             # mass, subtracted in closed form; their pv contribution is 0
             # because the v rows are zero too.
-            n_pad = block_k - kv_valid
+            # the BlockSpec delivers the FULL padded sequence as one tile,
+            # which equals block_k only when auto-tiling chose a full-seq
+            # block — derive the pad count from the tile itself so an
+            # explicit kv_valid <= block_k with a longer padded sequence
+            # (num_k_blocks == 1 but a wider tile) is still masked
             k_t = k_ref[hh]
             v_t = v_ref[hh]
+            n_pad = k_t.shape[0] - kv_valid
             if mask_tail and n_pad:
-                rid = lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+                rid = lax.broadcasted_iota(jnp.int32, (k_t.shape[0], 1), 0)
                 row_ok = rid < kv_valid  # [BK, 1]
                 k_t = jnp.where(row_ok, k_t, 0)
                 v_t = jnp.where(row_ok, v_t, 0)
