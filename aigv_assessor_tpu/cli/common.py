@@ -73,13 +73,22 @@ def config_from_args(args, stage: int) -> AssessorConfig:
 
 def load_tokenizer(args, config: AssessorConfig) -> AIGVTokenizer:
     path = args.model_name_or_path or ""
-    tok_file = os.path.join(path, "tokenizer.json")
-    if path and os.path.exists(tok_file):
+    # from_pretrained resolves tokenizer.json OR the sentencepiece
+    # tokenizer.model (the format real InternLM2/InternVL2 checkpoints
+    # ship); fall back to the built-in test tokenizer only when the
+    # checkpoint has neither
+    if path and (
+        os.path.exists(os.path.join(path, "tokenizer.json"))
+        or os.path.exists(os.path.join(path, "tokenizer.model"))
+    ):
         tok = AIGVTokenizer.from_pretrained(
-            tok_file, model_max_length=args.max_seq_length
+            path, model_max_length=args.max_seq_length
         )
     else:
-        logger.warning("no tokenizer.json found; using built-in test tokenizer")
+        logger.warning(
+            "no tokenizer.json/tokenizer.model found; using built-in test "
+            "tokenizer"
+        )
         tok = build_test_tokenizer(model_max_length=args.max_seq_length)
     return tok
 

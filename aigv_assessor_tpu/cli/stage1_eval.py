@@ -44,6 +44,7 @@ def main(argv=None, stage=STAGE, mos_scale=MOS_SCALE):
         num_segments=args.num_segments,
         group_by_length=args.group_by_length,
         mos_scale=mos_scale,
+        normalize_type=args.normalize_type,
         gif_fps=10.0 if stage == 1 else 1.0,
     )
     sampler = ShardedBatchSampler(

@@ -55,6 +55,7 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE,
         num_segments=args.num_segments,
         group_by_length=args.group_by_length,
         mos_scale=mos_scale,
+        normalize_type=args.normalize_type,
         gif_fps=10.0 if stage == 1 else 1.0,
     )
     try:
@@ -66,7 +67,8 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE,
             num_segments=args.num_segments,
             group_by_length=args.group_by_length,
             mos_scale=mos_scale,
-            gif_fps=10.0 if stage == 1 else 1.0,
+            normalize_type=args.normalize_type,
+        gif_fps=10.0 if stage == 1 else 1.0,
         )
     except ValueError:
         eval_ds = None
@@ -100,6 +102,7 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE,
         freeze_backbone=args.freeze_backbone,
         freeze_llm=args.freeze_llm,
         freeze_mlp=args.freeze_mlp,
+        unfreeze_lm_head=args.unfreeze_lm_head,
         max_seq_length=args.max_seq_length,
         bf16=args.bf16,
         resume_from_checkpoint=args.resume_from_checkpoint,

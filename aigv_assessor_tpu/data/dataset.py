@@ -284,24 +284,35 @@ class VideoQualityDataset:
 
 
 class WeightedConcatDataset:
-    """Weighted mixture over datasets (reference `WeightedConcatDataset`,
-    `dataset.py:173-184`): fixed total length, per-dataset sampling weights
-    proportional to size."""
+    """Concatenation of datasets (reference `WeightedConcatDataset`,
+    `dataset.py:173-184`, a ConcatDataset whose WEIGHTS live in a separate
+    train-time sampler).
+
+    __getitem__ is DETERMINISTIC concat indexing: the reference's
+    size-proportional-with-replacement sampling is marginally equivalent to
+    a uniform shuffle over the concatenation (its weights are proportional
+    to dataset size), which is exactly what the train ShardedBatchSampler
+    does — and eval must visit every sample exactly once. (A previous
+    random-with-replacement __getitem__ scored a non-reproducible multiset
+    at eval, defeated per-process shard disjointness, and shared one
+    non-thread-safe Generator across loader threads.)"""
 
     def __init__(self, datasets: Sequence[VideoQualityDataset], seed: int = 0):
         self.datasets = list(datasets)
-        sizes = np.array([len(d) for d in self.datasets], np.float64)
-        self.weights = sizes / sizes.sum()
-        self.total = int(sizes.sum())
-        self._rng = np.random.default_rng(seed)
+        sizes = [len(d) for d in self.datasets]
+        self.offsets = np.cumsum([0] + sizes)
+        self.total = int(self.offsets[-1])
 
     def __len__(self) -> int:
         return self.total
 
     def __getitem__(self, i: int) -> Sample:
-        di = int(self._rng.choice(len(self.datasets), p=self.weights))
-        ds = self.datasets[di]
-        return ds[int(self._rng.integers(0, len(ds)))]
+        if i < 0:
+            i += self.total
+        if not 0 <= i < self.total:
+            raise IndexError(i)
+        di = int(np.searchsorted(self.offsets, i, side="right") - 1)
+        return self.datasets[di][int(i - self.offsets[di])]
 
 
 @dataclass
@@ -344,6 +355,7 @@ def build_datasets(
     gif_fps: float = 10.0,
     retry_on_error: bool = False,
     seed: int = 0,
+    normalize_type: str = "imagenet",
 ):
     """Reference `build_datasets` (`stage1_train.py:673-726`): one dataset per
     meta entry, weighted-concatenated."""
@@ -373,6 +385,7 @@ def build_datasets(
                 retry_on_error=retry_on_error,
                 ds_name=name,
                 seed=seed,
+                normalize_type=normalize_type,
             )
         )
     if len(datasets) == 1:

@@ -48,6 +48,20 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # never block forever on a full queue: if the consumer abandons
+            # iteration early (exception in the train step, break), the
+            # generator's finally sets `stop` while this thread would be
+            # stuck in a blocking put — leaking the thread and its decode
+            # pool for process lifetime
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             # one producer thread keeps ordering deterministic; per-sample
             # decode parallelism happens inside via a small pool
@@ -59,11 +73,12 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, idxs))
-                        out_q.put(self.collate_fn(samples))
+                        if not put(self.collate_fn(samples)):
+                            return
             except Exception as e:  # surface loader errors to the consumer
-                out_q.put(e)
+                put(e)
             finally:
-                out_q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -91,10 +91,22 @@ def decode_at_indices(
     if out_size is not None:
         w, h = out_size
     else:
-        # probe native size via a 1-frame decode with a generous buffer
         w = h = 0
     if w == 0:
-        # decode first frame at native size to learn dims (buffer 8K max)
+        # native size from the stream's codec parameters — no decode pass.
+        # (The previous fallback decoded a probe frame into a worst-case
+        # 1x4320x7680x3 buffer — ~95 MB of allocation churn per video on
+        # the default out_size=None training/scoring path.)
+        if hasattr(lib, "vd_probe_dims"):
+            cw, ch = ctypes.c_int(), ctypes.c_int()
+            rc = lib.vd_probe_dims(
+                path.encode(), ctypes.byref(cw), ctypes.byref(ch)
+            )
+            if rc == 0:
+                w, h = int(cw.value), int(ch.value)
+    if w == 0:
+        # old .so without vd_probe_dims (or no codecpar dims): decode the
+        # first frame at native size to learn dims (buffer 8K max)
         max_w, max_h = 7680, 4320
         buf = np.empty((1, max_h, max_w, 3), np.uint8)
         nw, nh = ctypes.c_int(), ctypes.c_int()

@@ -120,7 +120,9 @@ class ShardedBatchSampler:
             self._sampler.set_epoch(epoch)
 
     def __len__(self) -> int:
-        return self.num_samples // self.global_batch_size
+        if self.drop_last:
+            return self.num_samples // self.global_batch_size
+        return -(-self.num_samples // self.global_batch_size)
 
     def __iter__(self) -> Iterator[List[int]]:
         if self._sampler is not None:

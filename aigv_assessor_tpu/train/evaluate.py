@@ -23,6 +23,7 @@ the attention mask.
 from __future__ import annotations
 
 import csv
+import functools
 import logging
 import os
 from typing import Dict, Iterable, List, Optional, Sequence
@@ -67,6 +68,26 @@ def decode_answer_span(
     return tokenizer.decode(preds[-n - 1 : -1])
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_forward(model, stage: int):
+    @jax.jit
+    def forward_fn(params, input_ids, pixel_values, attention_mask, labels, mos):
+        out = model.apply(
+            params,
+            input_ids,
+            pixel_values,
+            attention_mask=attention_mask,
+            labels=labels,
+            mos=mos,
+        )
+        ret = {"pred": jax.numpy.argmax(out["logits"][:, :-1, :], axis=-1)}
+        if stage >= 2:
+            ret["score"] = out["score"]
+        return ret
+
+    return forward_fn
+
+
 def evaluate_batches(
     model,
     params,
@@ -79,20 +100,10 @@ def evaluate_batches(
     rows [video_name, answer, output, mos, level(, pred_score)]."""
     im_end_id = tokenizer.convert_tokens_to_ids("<|im_end|>")
     if forward_fn is None:
-        @jax.jit
-        def forward_fn(params, input_ids, pixel_values, attention_mask, labels, mos):
-            out = model.apply(
-                params,
-                input_ids,
-                pixel_values,
-                attention_mask=attention_mask,
-                labels=labels,
-                mos=mos,
-            )
-            ret = {"pred": jax.numpy.argmax(out["logits"][:, :-1, :], axis=-1)}
-            if stage >= 2:
-                ret["score"] = out["score"]
-            return ret
+        # cached per (model, stage): a fresh @jax.jit closure per eval call
+        # would retrace the full forward at EVERY periodic eval (2B-scale
+        # compiles take minutes through the tunnel)
+        forward_fn = _eval_forward(model, stage)
 
     rows: List[List] = []
     for batch in batches:

@@ -78,6 +78,9 @@ class TrainConfig:
     freeze_backbone: bool = True
     freeze_llm: bool = True
     freeze_mlp: bool = False
+    # reference --unfreeze_lm_head (stage1_train.py wrap: output/tok
+    # embeddings trainable even with a frozen LLM)
+    unfreeze_lm_head: bool = False
     max_seq_length: int = 4096
     bf16: bool = True
     resume_from_checkpoint: Optional[str] = None
@@ -118,6 +121,24 @@ def make_schedule(cfg: TrainConfig, total_steps: int):
     return optax.constant_schedule(cfg.learning_rate)
 
 
+def decay_mask(params) -> Any:
+    """True where weight decay applies. The reference's HF Trainer excludes
+    biases and LayerNorm weights from decay (`Trainer.create_optimizer`
+    no_decay list); the flax equivalents are leaves named `bias`/`scale`
+    and RMSNorm `weight`s (their parent module names all contain 'norm')."""
+
+    def decay(path, leaf) -> bool:
+        keys = [str(getattr(k, "key", k)) for k in path]
+        name = keys[-1] if keys else ""
+        if name in ("bias", "scale"):
+            return False
+        if name == "weight" and any("norm" in k.lower() for k in keys[:-1]):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decay, params)
+
+
 def make_optimizer(
     cfg: TrainConfig,
     total_steps: int,
@@ -133,6 +154,7 @@ def make_optimizer(
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.weight_decay,
+            mask=decay_mask,
         ),
     ]
     if layer_decay is not None:
@@ -190,6 +212,7 @@ class Trainer:
             freeze_backbone=train_config.freeze_backbone,
             freeze_llm=train_config.freeze_llm,
             freeze_mlp=train_config.freeze_mlp,
+            unfreeze_lm_head=train_config.unfreeze_lm_head,
         )
         if (
             train_config.frozen_bf16
@@ -215,8 +238,10 @@ class Trainer:
         if (
             train_config.vit_layer_decay_rate is not None
             or train_config.llm_layer_decay_rate is not None
+            or train_config.llm_lr_scale is not None
             or _os.environ.get("VIT_LAYER_DECAY_RATE")
             or _os.environ.get("QLLAMA_LAYER_DECAY_RATE")
+            or _os.environ.get("QLLAMA_LR_SCALE")
         ):
             from aigv_assessor_tpu.train.layer_decay import layer_decay_multipliers
 

@@ -93,6 +93,19 @@ int vd_probe(const char* path, int64_t* n_frames, double* fps) {
   return 0;
 }
 
+// Probe native frame dimensions from the stream's codec parameters — no
+// decode, no frame buffer. Lets decode_at_indices size its output exactly
+// instead of decoding a probe frame into a worst-case 8K buffer per video.
+int vd_probe_dims(const char* path, int* width, int* height) {
+  Reader r;
+  if (int rc = r.open(path); rc != 0) return rc;
+  AVCodecParameters* par = r.stream()->codecpar;
+  if (par->width <= 0 || par->height <= 0) return -8;
+  *width = par->width;
+  *height = par->height;
+  return 0;
+}
+
 // Decode the frames at `indices` (sorted ascending, n_indices of them) in one
 // sequential pass; write RGB24 into `out` which must hold
 // n_indices * out_h * out_w * 3 bytes. out_w/out_h == 0 means native size

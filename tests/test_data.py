@@ -400,3 +400,62 @@ class TestPreprocessPlain:
         (res,) = preprocess_plain("internvl_zh", [convs], tok, [], text_only=True)
         assert res.mismatch
         assert np.all(res.labels == IGNORE_TOKEN_ID)
+
+
+class TestWeightedConcatDeterminism:
+    """The concat dataset must index DETERMINISTICALLY (reference
+    WeightedConcatDataset is a ConcatDataset; randomness lives in the train
+    sampler) — eval over a multi-entry meta has to visit every sample
+    exactly once, and per-process shard disjointness depends on it."""
+
+    class _Toy:
+        def __init__(self, tag, n):
+            self.items = [f"{tag}{i}" for i in range(n)]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    def test_covers_every_sample_once(self):
+        from aigv_assessor_tpu.data.dataset import WeightedConcatDataset
+
+        ds = WeightedConcatDataset([self._Toy("a", 3), self._Toy("b", 5)])
+        assert len(ds) == 8
+        got = [ds[i] for i in range(len(ds))]
+        assert got == ["a0", "a1", "a2", "b0", "b1", "b2", "b3", "b4"]
+        # repeatable
+        assert [ds[i] for i in range(len(ds))] == got
+        with pytest.raises(IndexError):
+            ds[8]
+
+    def test_sampler_len_matches_iteration_without_drop_last(self):
+        from aigv_assessor_tpu.data.sampler import ShardedBatchSampler
+
+        s = ShardedBatchSampler(10, global_batch_size=4, drop_last=False)
+        assert len(s) == len(list(iter(s))) == 3
+        s2 = ShardedBatchSampler(10, global_batch_size=4, drop_last=True)
+        assert len(s2) == len(list(iter(s2))) == 2
+
+
+class TestDecayMask:
+    def test_bias_and_norms_excluded(self):
+        """HF Trainer excludes biases and norm weights from weight decay;
+        the optax mask must match (reference Trainer.create_optimizer)."""
+        from aigv_assessor_tpu.train.trainer import decay_mask
+
+        params = {
+            "attention": {"wqkv": {"kernel": 1.0, "bias": 1.0}},
+            "attention_norm": {"weight": 1.0},
+            "mlp1": {"ln": {"scale": 1.0, "bias": 1.0}, "fc": {"kernel": 1.0}},
+            "tok_embeddings": {"embedding": 1.0},
+        }
+        m = decay_mask(params)
+        assert m["attention"]["wqkv"]["kernel"] is True
+        assert m["attention"]["wqkv"]["bias"] is False
+        assert m["attention_norm"]["weight"] is False
+        assert m["mlp1"]["ln"]["scale"] is False
+        assert m["mlp1"]["ln"]["bias"] is False
+        assert m["mlp1"]["fc"]["kernel"] is True
+        assert m["tok_embeddings"]["embedding"] is True
