@@ -168,6 +168,58 @@ def build_model_and_tokenizer(args, stage: int):
     return config, model, params, tokenizer
 
 
+def build_serving_stack(
+    model_name_or_path: str = "",
+    model_scale: str = "auto",
+    max_seq_length: int = 4096,
+    bf16: bool = True,
+    int8: bool = False,
+    int4: bool = False,
+    kv_int8: bool = False,
+    stage: int = 2,
+):
+    """(config, model, params, tokenizer) for the serving CLIs (score/serve):
+    the training CLI assembly with inference defaults, plus the quantized
+    serving transforms. Tiny random fallback when no checkpoint is given."""
+    from types import SimpleNamespace
+
+    asm_args = SimpleNamespace(
+        model_name_or_path=model_name_or_path,
+        model_scale=model_scale,
+        max_seq_length=max_seq_length,
+        bf16=bf16,
+        seed=0,
+        down_sample_ratio=0.5,
+        ps_version="v2",
+        vision_select_layer=-1,
+        conv_style="internlm2-chat",
+        max_dynamic_patch=6,
+        min_dynamic_patch=1,
+        dynamic_image_size=True,
+        use_thumbnail=True,
+        pad2square=False,
+        use_backbone_lora=0,
+        use_llm_lora=0,
+        drop_path_rate=0.0,
+        force_image_size=448,
+        grad_checkpoint=False,
+        vision_path=None,
+        llm_path=None,
+        mlp_path=None,
+    )
+    config, model, params, tokenizer = build_model_and_tokenizer(
+        asm_args, stage=stage
+    )
+    if int8 or int4 or kv_int8:
+        from aigv_assessor_tpu.models.loading import quantize_for_serving
+
+        params, precision = quantize_for_serving(
+            params, model.precision, int8=int8, int4=int4, kv_int8=kv_int8
+        )
+        model = AIGVAssessor(config, precision)
+    return config, model, params, tokenizer
+
+
 def mesh_from_args(args):
     n = jax.device_count()
     data = args.mesh_data or max(1, n // (args.mesh_fsdp * args.mesh_tensor))

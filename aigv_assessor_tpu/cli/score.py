@@ -113,44 +113,16 @@ def main(argv=None):
                          "suffixes against the shared KV cache")
     args = ap.parse_args(argv)
 
-    # reuse the training CLI assembly (tiny fallback when no checkpoint)
-    from types import SimpleNamespace
+    from aigv_assessor_tpu.cli.common import build_serving_stack
 
-    asm_args = SimpleNamespace(
+    config, model, params, tokenizer = build_serving_stack(
         model_name_or_path=args.model_name_or_path,
         model_scale=args.model_scale,
         max_seq_length=args.max_seq_length,
         bf16=args.bf16,
-        seed=0,
-        down_sample_ratio=0.5,
-        ps_version="v2",
-        vision_select_layer=-1,
-        conv_style="internlm2-chat",
-        max_dynamic_patch=6,
-        min_dynamic_patch=1,
-        dynamic_image_size=True,
-        use_thumbnail=True,
-        pad2square=False,
-        use_backbone_lora=0,
-        use_llm_lora=0,
-        drop_path_rate=0.0,
-        force_image_size=448,
-        grad_checkpoint=False,
-        vision_path=None,
-        llm_path=None,
-        mlp_path=None,
+        int8=args.int8,
+        int4=args.int4,
     )
-    from aigv_assessor_tpu.cli.common import build_model_and_tokenizer
-
-    config, model, params, tokenizer = build_model_and_tokenizer(asm_args, stage=2)
-    if args.int8 or args.int4:
-        from aigv_assessor_tpu.models.assessor import AIGVAssessor
-        from aigv_assessor_tpu.models.loading import quantize_for_serving
-
-        params, precision = quantize_for_serving(
-            params, model.precision, int8=args.int8, int4=args.int4
-        )
-        model = AIGVAssessor(config, precision)
     image_size = config.force_image_size or config.vision.image_size
 
     videos = list_videos(args.videos)

@@ -1,0 +1,328 @@
+"""HTTP video-scoring service (online serving).
+
+The reference has no serving entry at all (scoring runs as offline bs=1
+eval loops, `stage2_eval.py:893-962`); `cli/score.py` is this framework's
+batched OFFLINE path. This is the ONLINE path: a ThreadingHTTPServer in
+front of a micro-batching device worker —
+
+- requests park on a queue; the device thread collects up to
+  `--batch_size` videos (or waits at most `--max_wait_ms`), pads the group
+  to the one compiled batch shape, and runs the same fused
+  multi-perspective scorer as the offline CLI (shared ViT/motion encode +
+  shared-prefix LLM prefill per video, `AIGVAssessor.score_perspectives`);
+- video decode (native ffmpeg / cv2 / GIF) runs on the HTTP handler
+  threads, so decode of incoming requests overlaps device compute of the
+  current batch;
+- one compiled program serves every request: no shape polymorphism, no
+  recompiles after warmup.
+
+Endpoints:
+  GET  /healthz            -> {"status": "ok", model/batch info}
+  POST /score              -> body = raw video bytes (mp4/gif/...; also
+                              accepts JSON {"path": "/local/file"}), reply
+                              {"scores": {question: mos_scaled_score, ...}}
+
+Usage:
+  python -m aigv_assessor_tpu.cli.serve --model_name_or_path ckpt/ \
+      --port 8760 --batch_size 8 \
+      --question "How would you rate the static quality of this video?"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import queue
+import tempfile
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from aigv_assessor_tpu.cli.args import _bool
+from aigv_assessor_tpu.cli.score import build_prompt_ids
+from aigv_assessor_tpu.data.video import load_video, transform_frames
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Job:
+    pixels: np.ndarray  # [T, H, W, 3] float32 (transformed frames)
+    done: threading.Event = field(default_factory=threading.Event)
+    scores: Optional[np.ndarray] = None  # [P] on success
+    error: Optional[str] = None
+
+
+class ScoringService:
+    """Micro-batching wrapper around the fused perspective scorer: submit()
+    blocks until the device thread has scored the caller's video inside a
+    padded fixed-shape batch."""
+
+    def __init__(
+        self,
+        questions: List[str],
+        model_name_or_path: str = "",
+        model_scale: str = "auto",
+        batch_size: int = 8,
+        num_segments: int = 8,
+        max_wait_ms: float = 30.0,
+        bf16: bool = True,
+        int8: bool = False,
+        int4: bool = False,
+        mos_scale: float = 100.0,
+        shared_prefix: bool = True,
+        max_seq_length: int = 4096,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from aigv_assessor_tpu.cli.common import build_serving_stack
+
+        config, model, params, tokenizer = build_serving_stack(
+            model_name_or_path=model_name_or_path,
+            model_scale=model_scale,
+            max_seq_length=max_seq_length,
+            bf16=bf16,
+            int8=int8,
+            int4=int4,
+        )
+        self.questions = questions
+        self.batch_size = batch_size
+        self.num_segments = num_segments
+        self.max_wait = max_wait_ms / 1e3
+        self.mos_scale = mos_scale
+        self.image_size = config.force_image_size or config.vision.image_size
+        self._params = params
+
+        prompts = [
+            build_prompt_ids(
+                tokenizer, config.template, q, num_segments,
+                config.num_image_token,
+            )
+            for q in questions
+        ]
+        max_n = max(len(p) for p in prompts)
+        ids = np.full((len(prompts), max_n), tokenizer.pad_token_id, np.int32)
+        mask = np.zeros((len(prompts), max_n), bool)
+        for i, p in enumerate(prompts):
+            ids[i, : len(p)] = p
+            mask[i, : len(p)] = True
+        prefix_len = 0
+        if shared_prefix and len(prompts) > 1:
+            prefix_len = min(len(p) for p in prompts)
+            for p in prompts[1:]:
+                i = 0
+                while i < prefix_len and p[i] == prompts[0][i]:
+                    i += 1
+                prefix_len = min(prefix_len, i)
+            ctx = np.nonzero(np.asarray(prompts[0]) == config.img_context_token_id)[0]
+            if (
+                prefix_len < 8
+                or ctx.size == 0
+                or int(ctx.max()) >= prefix_len
+                or min(len(p) for p in prompts) - prefix_len < 4
+            ):
+                prefix_len = 0
+        self._ids = jnp.asarray(np.tile(ids[None], (batch_size, 1, 1)))
+        self._mask = jnp.asarray(np.tile(mask[None], (batch_size, 1, 1)))
+
+        @jax.jit
+        def score_batch(params, input_ids, pixel_values, attention_mask):
+            return model.apply(
+                params, input_ids, pixel_values, attention_mask,
+                method="score_perspectives",
+                shared_prefix_len=prefix_len or None,
+            )
+
+        self._score_batch = score_batch
+        self._jnp = jnp
+        self._q: "queue.Queue[_Job]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._device_loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ public ---
+
+    def warmup(self) -> None:
+        """Compile the scoring program before serving traffic."""
+        px = np.zeros(
+            (self.num_segments, self.image_size, self.image_size, 3),
+            np.float32,
+        )
+        self.submit(px)
+
+    def decode(self, path: str) -> np.ndarray:
+        frames = load_video(path, num_segments=self.num_segments)
+        return transform_frames(frames, input_size=self.image_size)
+
+    def submit(self, pixels: np.ndarray) -> np.ndarray:
+        """Blocks until scored; returns [P] float scores (mos-scaled)."""
+        job = _Job(pixels=pixels)
+        self._q.put(job)
+        job.done.wait()
+        if job.error is not None:
+            raise RuntimeError(job.error)
+        return job.scores
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------ device ---
+
+    def _device_loop(self) -> None:
+        jnp = self._jnp
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            jobs = [first]
+            # micro-batch: drain what's queued, then linger max_wait for more
+            deadline = self.max_wait
+            while len(jobs) < self.batch_size:
+                try:
+                    jobs.append(self._q.get(timeout=deadline))
+                    deadline = 0.005  # already waited once; drain fast
+                except queue.Empty:
+                    break
+            try:
+                pixels = [j.pixels for j in jobs]
+                pixels += [pixels[-1]] * (self.batch_size - len(pixels))
+                px = jnp.asarray(np.stack(pixels))
+                scores = np.asarray(
+                    self._score_batch(self._params, self._ids, px, self._mask)
+                )  # [bs, P]
+                for i, job in enumerate(jobs):
+                    job.scores = scores[i] * self.mos_scale
+                    job.done.set()
+            except Exception as e:  # pragma: no cover - surfaced to callers
+                for job in jobs:
+                    job.error = repr(e)
+                    job.done.set()
+
+
+def make_handler(service: ScoringService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route through logging, not stderr
+            logger.debug("http: " + fmt, *a)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(
+                    200,
+                    {
+                        "status": "ok",
+                        "questions": service.questions,
+                        "batch_size": service.batch_size,
+                        "num_segments": service.num_segments,
+                    },
+                )
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/json"):
+                    req = json.loads(body)
+                    pixels = service.decode(req["path"])
+                else:
+                    # raw video bytes: decode from a temp file (the readers
+                    # key the decoder off the suffix; default mp4)
+                    suffix = {
+                        "image/gif": ".gif",
+                        "video/webm": ".webm",
+                    }.get(ctype, ".mp4")
+                    with tempfile.NamedTemporaryFile(
+                        suffix=suffix, delete=False
+                    ) as f:
+                        f.write(body)
+                        tmp = f.name
+                    try:
+                        pixels = service.decode(tmp)
+                    finally:
+                        os.unlink(tmp)
+                scores = service.submit(pixels)
+                self._reply(
+                    200,
+                    {
+                        "scores": {
+                            q: float(s)
+                            for q, s in zip(service.questions, scores)
+                        }
+                    },
+                )
+            except Exception as e:
+                logger.exception("score request failed")
+                self._reply(400, {"error": repr(e)[:300]})
+
+    return Handler
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_name_or_path", default="")
+    ap.add_argument("--model_scale", default="auto",
+                    choices=["auto", "tiny", "2b", "8b"])
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8760)
+    ap.add_argument("--question", action="append", default=None)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_segments", type=int, default=8)
+    ap.add_argument("--max_wait_ms", type=float, default=30.0)
+    ap.add_argument("--bf16", type=_bool, default=True)
+    ap.add_argument("--int8", type=_bool, default=False)
+    ap.add_argument("--int4", type=_bool, default=False)
+    ap.add_argument("--mos_scale", type=float, default=100.0)
+    ap.add_argument("--max_seq_length", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    service = ScoringService(
+        questions=args.question
+        or ["How would you rate the static quality of this video?"],
+        model_name_or_path=args.model_name_or_path,
+        model_scale=args.model_scale,
+        batch_size=args.batch_size,
+        num_segments=args.num_segments,
+        max_wait_ms=args.max_wait_ms,
+        bf16=args.bf16,
+        int8=args.int8,
+        int4=args.int4,
+        mos_scale=args.mos_scale,
+        max_seq_length=args.max_seq_length,
+    )
+    logger.info("compiling the scoring program...")
+    service.warmup()
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    logger.info("serving on %s:%d", args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()
