@@ -10,9 +10,14 @@ front of a micro-batching device worker —
   to the one compiled batch shape, and runs the same fused
   multi-perspective scorer as the offline CLI (shared ViT/motion encode +
   shared-prefix LLM prefill per video, `AIGVAssessor.score_perspectives`);
-- video decode (native ffmpeg / cv2 / GIF) runs on the HTTP handler
-  threads, so decode of incoming requests overlaps device compute of the
-  current batch;
+- video decode (native ffmpeg / cv2 / GIF) + host resize run on the HTTP
+  handler threads, so decode of incoming requests overlaps device compute
+  of the current batch;
+- frames travel host->device as UINT8 (4x fewer bytes than fp32 — the
+  transfer link, not the chip, bounds online throughput) with the [0,1]
+  scaling + mean/std normalization fused into the scoring program;
+- the device loop is a one-deep pipeline: batch N's readback is deferred
+  until batch N+1 has been dispatched, so transfer and compute overlap;
 - one compiled program serves every request: no shape polymorphism, no
   recompiles after warmup.
 
@@ -37,6 +42,7 @@ import os
 import queue
 import tempfile
 import threading
+import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
@@ -77,6 +83,7 @@ class ScoringService:
         mos_scale: float = 100.0,
         shared_prefix: bool = True,
         max_seq_length: int = 4096,
+        device_preprocess: bool = True,
     ):
         import jax
         import jax.numpy as jnp
@@ -97,6 +104,7 @@ class ScoringService:
         self.max_wait = max_wait_ms / 1e3
         self.mos_scale = mos_scale
         self.image_size = config.force_image_size or config.vision.image_size
+        self.device_preprocess = device_preprocess
         self._params = params
 
         prompts = [
@@ -131,8 +139,19 @@ class ScoringService:
         self._ids = jnp.asarray(np.tile(ids[None], (batch_size, 1, 1)))
         self._mask = jnp.asarray(np.tile(mask[None], (batch_size, 1, 1)))
 
+        compute_dtype = (
+            jnp.float32 if not bf16 else jnp.bfloat16
+        )
+
         @jax.jit
         def score_batch(params, input_ids, pixel_values, attention_mask):
+            if pixel_values.dtype == jnp.uint8:
+                from aigv_assessor_tpu.ops.preprocess import resize_normalize
+
+                pixel_values = resize_normalize(
+                    pixel_values, size=pixel_values.shape[-2],
+                    dtype=compute_dtype,
+                )
             return model.apply(
                 params, input_ids, pixel_values, attention_mask,
                 method="score_perspectives",
@@ -152,12 +171,30 @@ class ScoringService:
         """Compile the scoring program before serving traffic."""
         px = np.zeros(
             (self.num_segments, self.image_size, self.image_size, 3),
-            np.float32,
+            np.uint8 if self.device_preprocess else np.float32,
         )
         self.submit(px)
 
     def decode(self, path: str) -> np.ndarray:
         frames = load_video(path, num_segments=self.num_segments)
+        if self.device_preprocess:
+            # handler threads decode + resize; frames stay UINT8 and the
+            # normalization runs fused in the scoring program. fp32 frames
+            # were the online bottleneck: 77 MB/batch took 1.3-1.9 s on the
+            # host->device link vs 0.46 s of scoring (measured; uint8 is 4x
+            # smaller). A per-request device-side resize is worse still —
+            # its readback serializes behind in-flight score batches.
+            from PIL import Image
+
+            s = self.image_size
+            return np.stack([
+                np.asarray(
+                    f.resize((s, s), Image.BICUBIC)
+                    if f.size != (s, s) else f,
+                    np.uint8,
+                )
+                for f in frames
+            ])
         return transform_frames(frames, input_size=self.image_size)
 
     def submit(self, pixels: np.ndarray) -> np.ndarray:
@@ -177,34 +214,56 @@ class ScoringService:
 
     def _device_loop(self) -> None:
         jnp = self._jnp
+        pending = None  # (jobs, scores_device): readback deferred one batch
+
+        def flush(p):
+            jobs, dev = p
+            scores = np.asarray(dev)  # the only sync point
+            for i, job in enumerate(jobs):
+                job.scores = scores[i] * self.mos_scale
+                job.done.set()
+
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
+                if pending is not None:
+                    flush(pending)
+                    pending = None
                 continue
             jobs = [first]
-            # micro-batch: drain what's queued, then linger max_wait for more
-            deadline = self.max_wait
+            # micro-batch: linger until the first job's deadline, taking
+            # whatever arrives — staggered arrivals (decode finishes on
+            # different handler threads) must still coalesce into one batch
+            deadline = time.monotonic() + self.max_wait
             while len(jobs) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    jobs.append(self._q.get(timeout=deadline))
-                    deadline = 0.005  # already waited once; drain fast
+                    jobs.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
             try:
                 pixels = [j.pixels for j in jobs]
                 pixels += [pixels[-1]] * (self.batch_size - len(pixels))
-                px = jnp.asarray(np.stack(pixels))
-                scores = np.asarray(
-                    self._score_batch(self._params, self._ids, px, self._mask)
-                )  # [bs, P]
-                for i, job in enumerate(jobs):
-                    job.scores = scores[i] * self.mos_scale
-                    job.done.set()
+                px = jnp.asarray(np.stack(pixels))  # async h2d
+                dev = self._score_batch(self._params, self._ids, px, self._mask)
+                # one-deep pipeline: complete the PREVIOUS batch while this
+                # one's transfer+compute are in flight
+                if pending is not None:
+                    flush(pending)
+                pending = (jobs, dev)
             except Exception as e:  # pragma: no cover - surfaced to callers
                 for job in jobs:
                     job.error = repr(e)
                     job.done.set()
+
+
+class _Server(ThreadingHTTPServer):
+    # default listen backlog (5) resets connections under concurrent load
+    request_queue_size = 128
+    daemon_threads = True
 
 
 def make_handler(service: ScoringService):
@@ -295,6 +354,9 @@ def main(argv=None):
     ap.add_argument("--int4", type=_bool, default=False)
     ap.add_argument("--mos_scale", type=float, default=100.0)
     ap.add_argument("--max_seq_length", type=int, default=4096)
+    ap.add_argument("--device_preprocess", type=_bool, default=True,
+                    help="decode at native size on host, fused bicubic "
+                         "resize+normalize on device (False = host PIL)")
     args = ap.parse_args(argv)
 
     service = ScoringService(
@@ -310,10 +372,11 @@ def main(argv=None):
         int4=args.int4,
         mos_scale=args.mos_scale,
         max_seq_length=args.max_seq_length,
+        device_preprocess=args.device_preprocess,
     )
     logger.info("compiling the scoring program...")
     service.warmup()
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    server = _Server((args.host, args.port), make_handler(service))
     logger.info("serving on %s:%d", args.host, args.port)
     try:
         server.serve_forever()
