@@ -42,6 +42,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--grad_checkpoint", type=_bool, default=True)
     # ---- data ----
     p.add_argument("--meta_path", type=str, required=True)
+    p.add_argument(
+        "--fused_meta_paths", type=str, nargs="*", default=None,
+        help="stage-2 eval only: additional per-perspective meta JSONs over "
+             "the SAME videos as --meta_path; all perspectives are scored "
+             "in ONE pass per video (shared frame encode) instead of the "
+             "reference's separate full runs (stage2_train.sh number=1..4)",
+    )
     p.add_argument("--max_seq_length", type=int, default=4096)
     p.add_argument("--max_dynamic_patch", type=int, default=6)
     p.add_argument("--min_dynamic_patch", type=int, default=1)

@@ -259,6 +259,49 @@ class VideoQualityDataset:
             length=int(ret.attention_mask.sum()),
         )
 
+    def get_text_item(self, i: int) -> Sample:
+        """Tokenize video sample i WITHOUT decoding the video: identical
+        prompt construction to `video_get_item` (the token layout depends
+        only on `num_segments`), with empty pixel_values. Feeds the fused
+        multi-perspective evaluator, where the frames are decoded ONCE from
+        one perspective's dataset and the P-1 siblings contribute prompts
+        and MOS labels only."""
+        cfg = self.config
+        data_item = self.raw_data[i]
+        assert "video" in data_item, "get_text_item is for video samples"
+        conversations = [dict(c) for c in data_item["conversations"]]
+        if "<video>" not in conversations[0]["value"]:
+            conversations[0]["value"] = "<video>\n" + conversations[0]["value"]
+        special_tokens = "\n".join(
+            f"Frame{j + 1}: <image>" for j in range(self.num_segments)
+        )
+        special_tokens += "\nMotion Feature: <image>"
+        conversations[0]["value"] = conversations[0]["value"].replace(
+            "<video>\n", special_tokens
+        )
+        num_image_tokens = [cfg.num_image_token] * self.num_segments + [1]
+        preprocess_fn = get_preprocess_function(cfg.template)
+        ret = preprocess_fn(
+            cfg.template,
+            [conversations],
+            self.tokenizer,
+            num_image_tokens,
+            group_by_length=self.group_by_length,
+            ds_name=self.ds_name,
+        )[0]
+        mos = parse_mos(data_item) * self.mos_scale
+        return Sample(
+            video_name=data_item["video"],
+            answer=data_item["conversations"][1]["value"],
+            mos=mos,
+            input_ids=ret.input_ids,
+            labels=ret.labels,
+            attention_mask=ret.attention_mask,
+            pixel_values=np.zeros((0,), np.float32),
+            image_flags=np.zeros((0,), np.int32),
+            length=int(ret.attention_mask.sum()),
+        )
+
     def _get(self, i: int) -> Sample:
         data_item = self.raw_data[i]
         if "video" in data_item:

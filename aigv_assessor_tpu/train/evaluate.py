@@ -137,6 +137,154 @@ def evaluate_batches(
     return rows
 
 
+@functools.lru_cache(maxsize=8)
+def _persp_forward(model, shared_prefix_len=None):
+    @jax.jit
+    def forward_fn(params, input_ids, pixel_values, attention_mask):
+        return model.apply(
+            params, input_ids, pixel_values, attention_mask,
+            method="score_perspectives",
+            shared_prefix_len=shared_prefix_len,
+        )
+
+    return forward_fn
+
+
+def evaluate_perspectives(
+    model,
+    params,
+    datasets,  # P VideoQualityDatasets over the SAME videos (paired by index)
+    batch_size: int = 8,
+    workers: int = 4,
+):
+    """Fused multi-perspective stage-2 evaluation.
+
+    The reference evaluates its 4 quality perspectives as 4 SEPARATE full
+    eval runs over the same videos (`shell/train/stage2_train.sh:13`
+    `export number=...` selects the per-perspective annotation; each run
+    re-decodes and re-encodes the identical frames). Here the P datasets
+    are paired by index, every video is decoded and ViT/motion-encoded
+    ONCE, and the P perspective prompts batch through the LLM against the
+    shared embeddings (`AIGVAssessor.score_perspectives`).
+
+    Returns P row-lists `[video_name, answer, mos, pred_score]` — the
+    score-based artifact (the reference's text `output` column requires a
+    per-perspective LM-head pass, defeating the fusion; the quality metric
+    of record for stage-2 is SRCC/PLCC/KRCC over `pred_score`).
+    """
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    p_count = len(datasets)
+    n = len(datasets[0])
+    assert all(len(d) == n for d in datasets), "perspective datasets differ in size"
+    texts = [[d.get_text_item(i) for i in range(n)] for d in datasets]
+    for pi in range(1, p_count):
+        for i in range(n):
+            assert texts[pi][i].video_name == texts[0][i].video_name, (
+                f"perspective {pi} sample {i} pairs a different video "
+                f"({texts[pi][i].video_name!r} vs {texts[0][i].video_name!r})"
+            )
+
+    max_n = max(t.input_ids.shape[0] for row in texts for t in row)
+    max_n = -(-max_n // 8) * 8  # pad to a lane-friendly multiple
+
+    # the prompts share system turn + Frame/motion context tokens across
+    # EVERY (video, perspective) — only the question + teacher-forced answer
+    # differ after them — so the LLM prefill over that prefix runs once per
+    # video (same contract and guards as cli/score.py shared_prefix)
+    flat = [t.input_ids for row in texts for t in row]
+    prefix_len = min(len(x) for x in flat)
+    first = flat[0]
+    for x in flat[1:]:
+        i = 0
+        while i < prefix_len and x[i] == first[i]:
+            i += 1
+        prefix_len = min(prefix_len, i)
+    ctx_id = model.config.img_context_token_id
+    ctx_pos = np.nonzero(np.asarray(first) == ctx_id)[0]
+    min_suffix = min(len(x) for x in flat) - prefix_len
+    if (
+        prefix_len < 8
+        or ctx_pos.size == 0
+        or int(ctx_pos.max()) >= prefix_len
+        or min_suffix < 4  # room for the hidden[-4] read-out
+    ):
+        prefix_len = 0
+    forward_fn = _persp_forward(model, prefix_len or None)
+    rows = [[] for _ in range(p_count)]
+    idx_chunks = [
+        list(range(i, min(i + batch_size, n))) for i in range(0, n, batch_size)
+    ]
+
+    def pixels_for(i):
+        # decode ONCE per video, from the first perspective's dataset
+        return datasets[0][i].pixel_values
+
+    with ThreadPoolExecutor(workers) as pool:
+        futures = {}
+
+        def submit(ci):
+            if ci < len(idx_chunks) and ci not in futures:
+                futures[ci] = [
+                    pool.submit(pixels_for, i) for i in idx_chunks[ci]
+                ]
+
+        submit(0)
+        submit(1)
+        for ci, idxs in enumerate(idx_chunks):
+            pixels = [f.result() for f in futures.pop(ci)]
+            submit(ci + 2)
+            b = len(idxs)
+            ids = np.zeros((b, p_count, max_n), np.int32)
+            mask = np.zeros((b, p_count, max_n), bool)
+            for bi, i in enumerate(idxs):
+                for pi in range(p_count):
+                    t = texts[pi][i]
+                    ln = t.input_ids.shape[0]
+                    ids[bi, pi, :ln] = t.input_ids
+                    mask[bi, pi, :ln] = t.attention_mask[:ln].astype(bool)
+            px = np.stack(pixels)
+            scores = np.asarray(
+                forward_fn(
+                    params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask)
+                )
+            )  # [b, P]
+            for bi, i in enumerate(idxs):
+                for pi in range(p_count):
+                    t = texts[pi][i]
+                    rows[pi].append(
+                        [t.video_name, t.answer, float(t.mos), float(scores[bi, pi])]
+                    )
+    return rows
+
+
+def save_perspective_results(
+    rows,  # [video_name, answer, mos, pred_score]
+    output_file: str,
+    metrics_file: str,
+):
+    """Per-perspective artifacts for the fused evaluator: pred_score CSV +
+    the stage-2 score-correlation metrics block (`stage2_eval.py:676-685`)."""
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    with open(output_file, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["video_name", "answer", "mos", "pred_score"])
+        w.writerows(rows)
+    mos = [r[2] for r in rows]
+    pred = [r[3] for r in rows]
+    corr = correlation_metrics(mos, pred)
+    with open(metrics_file, "a") as f:
+        f.writelines(
+            [
+                f"SRCC_score: {corr['SRCC']}\n",
+                f"PLCC_score: {corr['PLCC']}\n",
+                f"KRCC_score: {corr['KRCC']}\n",
+            ]
+        )
+    return {f"{k}_score": v for k, v in corr.items()}
+
+
 def correlation_metrics(x: Sequence[float], y: Sequence[float]) -> Dict[str, float]:
     srcc, _ = spearmanr(x, y)
     plcc, _ = pearsonr(x, y)
