@@ -210,6 +210,10 @@ def build_serving_stack(
     config, model, params, tokenizer = build_model_and_tokenizer(
         asm_args, stage=stage
     )
+    from aigv_assessor_tpu.models.loading import cast_params_for_inference
+
+    # serving holds no fp32 masters: ~halves weight HBM (9.7 GB at 2B)
+    params = cast_params_for_inference(params, model.precision)
     if int8 or int4 or kv_int8:
         from aigv_assessor_tpu.models.loading import quantize_for_serving
 

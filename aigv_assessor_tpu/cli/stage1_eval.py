@@ -35,6 +35,9 @@ def main(argv=None, stage=STAGE, mos_scale=MOS_SCALE):
     init_dist()
     args = parse_args(f"AIGV-Assessor-TPU stage-{stage} evaluation", argv)
     config, model, params, tokenizer = build_model_and_tokenizer(args, stage)
+    from aigv_assessor_tpu.models.loading import cast_params_for_inference
+
+    params = cast_params_for_inference(params, model.precision)
 
     eval_ds = build_datasets(
         args.meta_path,

@@ -48,6 +48,9 @@ def fused_main(args):
 
     init_dist()
     config, model, params, tokenizer = build_model_and_tokenizer(args, stage=2)
+    from aigv_assessor_tpu.models.loading import cast_params_for_inference
+
+    params = cast_params_for_inference(params, model.precision)
     metas = [args.meta_path] + list(args.fused_meta_paths)
     datasets = [
         build_datasets(

@@ -50,9 +50,33 @@ def load_model_and_tokenizer(
         params, precision or Precision(), int8=int8, int4=int4,
         kv_int8=kv_int8,
     )
+    # inference holds no fp32 masters (~halves weight HBM at 2B+ scales)
+    params = cast_params_for_inference(params, precision)
     model = AIGVAssessor(config, precision)
     params = adapt_layer_format(params, config)
     return config, model, params, tokenizer
+
+
+def cast_params_for_inference(params, precision: Precision):
+    """Cast fp32 master params to the compute dtype for inference-only use.
+
+    Training holds fp32 masters (the optimizer needs them); serving/eval do
+    not — the forward casts to bf16 anyway, so fp32 storage only doubles
+    HBM (9.7 GB of masters at 2B pushed the fused 2-perspective eval to
+    22.7 GB and OOM'd a 16 GB chip). Non-f32 leaves (int8/int4 kernels,
+    quantization scales) pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    if precision.compute_dtype != jnp.bfloat16:
+        return params
+
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
 
 
 def quantize_for_serving(

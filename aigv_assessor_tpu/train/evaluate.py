@@ -186,14 +186,26 @@ def evaluate_perspectives(
                 f"({texts[pi][i].video_name!r} vs {texts[0][i].video_name!r})"
             )
 
-    max_n = max(t.input_ids.shape[0] for row in texts for t in row)
+    # the preprocess functions pad input_ids to model_max_length; batch at
+    # the max REAL length instead — the shared-prefix suffix pass rides ONE
+    # [B, P*s_suf] sequence axis, so carrying tokenizer padding multiplies
+    # the suffix attention quadratically (measured: 4096-padded prompts made
+    # P*s_suf=7864 and a 9.4 GB logits buffer; real suffixes are ~60 tokens)
+    real_lens = [
+        [int(t.attention_mask.sum()) for t in row] for row in texts
+    ]
+    max_n = max(max(r) for r in real_lens)
     max_n = -(-max_n // 8) * 8  # pad to a lane-friendly multiple
 
     # the prompts share system turn + Frame/motion context tokens across
     # EVERY (video, perspective) — only the question + teacher-forced answer
     # differ after them — so the LLM prefill over that prefix runs once per
     # video (same contract and guards as cli/score.py shared_prefix)
-    flat = [t.input_ids for row in texts for t in row]
+    flat = [
+        t.input_ids[: real_lens[pi][i]]
+        for pi, row in enumerate(texts)
+        for i, t in enumerate(row)
+    ]
     prefix_len = min(len(x) for x in flat)
     first = flat[0]
     for x in flat[1:]:
@@ -241,9 +253,9 @@ def evaluate_perspectives(
             for bi, i in enumerate(idxs):
                 for pi in range(p_count):
                     t = texts[pi][i]
-                    ln = t.input_ids.shape[0]
-                    ids[bi, pi, :ln] = t.input_ids
-                    mask[bi, pi, :ln] = t.attention_mask[:ln].astype(bool)
+                    ln = real_lens[pi][i]
+                    ids[bi, pi, :ln] = t.input_ids[:ln]
+                    mask[bi, pi, :ln] = True
             px = np.stack(pixels)
             scores = np.asarray(
                 forward_fn(
