@@ -156,6 +156,11 @@ def _image_hw(config: AssessorConfig) -> Tuple[int, int]:
 
 
 def build_model_and_tokenizer(args, stage: int):
+    # all six CLIs assemble through here: reuse compiled XLA programs across
+    # process starts (AIGV_COMPILE_CACHE=0 disables)
+    from aigv_assessor_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = config_from_args(args, stage)
     tokenizer = load_tokenizer(args, config)
     ctx_id = tokenizer.img_context_token_id
@@ -228,3 +233,39 @@ def mesh_from_args(args):
     n = jax.device_count()
     data = args.mesh_data or max(1, n // (args.mesh_fsdp * args.mesh_tensor))
     return make_mesh(MeshConfig(data=data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor))
+
+
+def compute_shared_prefix_len(
+    prompts,
+    img_context_token_id: int,
+    *,
+    min_prefix: int = 8,
+    min_suffix: int = 4,
+) -> int:
+    """Longest common token prefix across perspective prompts, or 0 when
+    shared-prefix scoring can't use it.
+
+    The guard (shared by cli/score.py, cli/serve.py and the fused eval in
+    train/evaluate.py): the prefix must be non-trivial, must contain EVERY
+    <IMG_CONTEXT> token (the frame/motion splice runs only in the prefix
+    prefill), and every perspective needs at least `min_suffix` suffix
+    tokens so the hidden[-4] score read-out lands inside its own suffix
+    block."""
+    if len(prompts) < 2:
+        return 0
+    prefix_len = min(len(p) for p in prompts)
+    first = prompts[0]
+    for p in prompts[1:]:
+        i = 0
+        while i < prefix_len and p[i] == first[i]:
+            i += 1
+        prefix_len = min(prefix_len, i)
+    ctx = np.nonzero(np.asarray(first) == img_context_token_id)[0]
+    if (
+        prefix_len < min_prefix
+        or ctx.size == 0
+        or int(ctx.max()) >= prefix_len
+        or min(len(p) for p in prompts) - prefix_len < min_suffix
+    ):
+        return 0
+    return prefix_len

@@ -155,27 +155,16 @@ def main(argv=None):
     # perspective-specific (score_perspectives shared_prefix_len).
     prefix_len = 0
     if args.shared_prefix and n_persp > 1:
-        prefix_len = min(len(p) for p in prompts)
-        for p in prompts[1:]:
-            i = 0
-            while i < prefix_len and p[i] == prompts[0][i]:
-                i += 1
-            prefix_len = min(prefix_len, i)
-        ctx_pos = np.nonzero(
-            np.asarray(prompts[0]) == config.img_context_token_id
-        )[0]
-        min_suffix = min(len(p) for p in prompts) - prefix_len
-        if (
-            prefix_len < 8
-            or ctx_pos.size == 0
-            or int(ctx_pos.max()) >= prefix_len
-            or min_suffix < 4  # room for the hidden[-4] read-out
-        ):
+        from aigv_assessor_tpu.cli.common import compute_shared_prefix_len
+
+        prefix_len = compute_shared_prefix_len(
+            prompts, config.img_context_token_id
+        )
+        if not prefix_len:
             logger.warning(
                 "perspective prompts share no usable prefix; falling back "
                 "to independent per-perspective prefills"
             )
-            prefix_len = 0
         else:
             logger.info(
                 "shared prompt prefix: %d of %d tokens prefilled once per "

@@ -88,7 +88,10 @@ class ScoringService:
         import jax
         import jax.numpy as jnp
 
-        from aigv_assessor_tpu.cli.common import build_serving_stack
+        from aigv_assessor_tpu.cli.common import (
+            build_serving_stack,
+            compute_shared_prefix_len,
+        )
 
         config, model, params, tokenizer = build_serving_stack(
             model_name_or_path=model_name_or_path,
@@ -121,21 +124,10 @@ class ScoringService:
             ids[i, : len(p)] = p
             mask[i, : len(p)] = True
         prefix_len = 0
-        if shared_prefix and len(prompts) > 1:
-            prefix_len = min(len(p) for p in prompts)
-            for p in prompts[1:]:
-                i = 0
-                while i < prefix_len and p[i] == prompts[0][i]:
-                    i += 1
-                prefix_len = min(prefix_len, i)
-            ctx = np.nonzero(np.asarray(prompts[0]) == config.img_context_token_id)[0]
-            if (
-                prefix_len < 8
-                or ctx.size == 0
-                or int(ctx.max()) >= prefix_len
-                or min(len(p) for p in prompts) - prefix_len < 4
-            ):
-                prefix_len = 0
+        if shared_prefix:
+            prefix_len = compute_shared_prefix_len(
+                prompts, config.img_context_token_id
+            )
         self._ids = jnp.asarray(np.tile(ids[None], (batch_size, 1, 1)))
         self._mask = jnp.asarray(np.tile(mask[None], (batch_size, 1, 1)))
 
@@ -209,19 +201,42 @@ class ScoringService:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        # the device loop exits without draining: fail queued jobs and any
+        # un-flushed one-deep `pending` batch so no submit() caller is left
+        # parked forever on job.done (in-flight handlers during shutdown)
+        while True:
+            try:
+                job = self._q.get_nowait()
+            except queue.Empty:
+                break
+            job.error = "service closed before the job was scored"
+            job.done.set()
 
     # ------------------------------------------------------------ device ---
+
+    def _drain_on_stop(self, pending) -> None:
+        """Complete the deferred batch (its compute already ran) and fail
+        anything still queued when the loop is told to stop."""
+        if pending is not None:
+            try:
+                self._flush(pending)
+            except Exception as e:  # pragma: no cover - device error on exit
+                for job in pending[0]:
+                    if not job.done.is_set():
+                        job.error = repr(e)
+                        job.done.set()
+
+    def _flush(self, p) -> None:
+        jobs, dev = p
+        scores = np.asarray(dev)  # the only sync point
+        for i, job in enumerate(jobs):
+            job.scores = scores[i] * self.mos_scale
+            job.done.set()
 
     def _device_loop(self) -> None:
         jnp = self._jnp
         pending = None  # (jobs, scores_device): readback deferred one batch
-
-        def flush(p):
-            jobs, dev = p
-            scores = np.asarray(dev)  # the only sync point
-            for i, job in enumerate(jobs):
-                job.scores = scores[i] * self.mos_scale
-                job.done.set()
+        flush = self._flush
 
         while not self._stop.is_set():
             try:
@@ -258,6 +273,7 @@ class ScoringService:
                 for job in jobs:
                     job.error = repr(e)
                     job.done.set()
+        self._drain_on_stop(pending)
 
 
 class _Server(ThreadingHTTPServer):
@@ -355,8 +371,10 @@ def main(argv=None):
     ap.add_argument("--mos_scale", type=float, default=100.0)
     ap.add_argument("--max_seq_length", type=int, default=4096)
     ap.add_argument("--device_preprocess", type=_bool, default=True,
-                    help="decode at native size on host, fused bicubic "
-                         "resize+normalize on device (False = host PIL)")
+                    help="uint8 host decode+resize with the normalization "
+                         "fused into the device scoring program — 4x less "
+                         "host->device traffic (False = fp32 host "
+                         "transform)")
     args = ap.parse_args(argv)
 
     service = ScoringService(

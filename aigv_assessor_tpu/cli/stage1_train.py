@@ -68,7 +68,7 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE,
             group_by_length=args.group_by_length,
             mos_scale=mos_scale,
             normalize_type=args.normalize_type,
-        gif_fps=10.0 if stage == 1 else 1.0,
+            gif_fps=10.0 if stage == 1 else 1.0,
         )
     except ValueError:
         eval_ds = None

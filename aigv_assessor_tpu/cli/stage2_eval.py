@@ -69,7 +69,7 @@ def fused_main(args):
     rows = evaluate_perspectives(
         model, params, datasets,
         batch_size=args.eval_batch_size,
-        workers=args.dataloader_num_workers or 4,
+        workers=max(1, args.dataloader_num_workers),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     all_metrics = {}

@@ -1,0 +1,53 @@
+"""Persistent XLA compilation cache for the CLIs.
+
+Every entry point (train/eval/score/serve) pays a cold-start trace+compile
+of the full composite model — tens of seconds on TPU per program shape.
+XLA's persistent compilation cache makes the second process start in
+milliseconds per program instead: compiled executables are keyed by
+(HLO, compile options, device kind) and reloaded from disk. The reference
+has no counterpart (torch eager pays per-op dispatch instead of a compile);
+for a serving fleet this is the difference between a ~1 min and a ~5 s
+rolling restart.
+
+Env contract:
+  AIGV_COMPILE_CACHE=<dir>  cache directory (default ~/.cache/aigv_assessor_tpu/jax)
+  AIGV_COMPILE_CACHE=0      disable
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_ENABLED = False
+
+
+def enable_compilation_cache() -> str | None:
+    """Idempotently point JAX's persistent compilation cache at a local
+    directory. Returns the cache dir, or None when disabled."""
+    global _ENABLED
+    raw = os.environ.get("AIGV_COMPILE_CACHE", "")
+    if raw in ("0", "off", "none"):
+        return None
+    path = raw or os.path.join(
+        os.path.expanduser("~"), ".cache", "aigv_assessor_tpu", "jax"
+    )
+    if _ENABLED:
+        return path
+    import jax
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every program: the model programs all clear any floor, and
+        # the small helper programs (resize/normalize) are free to keep
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - depends on jax build flags
+        logger.warning("persistent compilation cache unavailable: %r", e)
+        return None
+    _ENABLED = True
+    logger.info("persistent compilation cache: %s", path)
+    return path

@@ -302,6 +302,28 @@ class VideoQualityDataset:
             length=int(ret.attention_mask.sum()),
         )
 
+    def get_pixel_item(self, i: int) -> np.ndarray:
+        """Decode + transform video sample i's frames WITHOUT tokenizing:
+        the pixel-side complement of `get_text_item`. The fused evaluator
+        already holds the tokens from `get_text_item`; running the full
+        `__getitem__` just to reach `.pixel_values` would re-template and
+        re-tokenize the conversation per video."""
+        data_item = self.raw_data[i]
+        assert "video" in data_item, "get_pixel_item is for video samples"
+        frames = load_video(
+            os.path.join(self.root, data_item["video"]),
+            num_segments=self.num_segments,
+            gif_fps=self.gif_fps,
+        )
+        return transform_frames(
+            frames,
+            input_size=self.image_size,
+            is_train=self.is_train,
+            normalize_type=self.normalize_type,
+            pad2square=self.config.pad2square,
+            rng=self._rng,
+        )
+
     def _get(self, i: int) -> Sample:
         data_item = self.raw_data[i]
         if "video" in data_item:

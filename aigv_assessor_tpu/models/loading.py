@@ -35,6 +35,9 @@ def load_model_and_tokenizer(
 
     kv_int8: serve generation with an int8 KV cache (`ops/kv_quant.py`) —
     half the cache HBM bytes/footprint; composes with int8/int4 weights."""
+    from aigv_assessor_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = AssessorConfig.from_json(os.path.join(path, "config.json"))
     config = config.replace(stage=stage)
     tokenizer = AIGVTokenizer.from_pretrained(path)
@@ -46,12 +49,16 @@ def load_model_and_tokenizer(
     with open(params_path, "rb") as f:
         params = serialization.msgpack_restore(f.read())
 
+    # inference holds no fp32 masters (~halves weight HBM at 2B+ scales).
+    # Cast BEFORE quantizing, matching cli/common.build_serving_stack: the
+    # reverse order would also cast the fresh fp32 dequant scales to bf16
+    # (~0.4% extra relative error on every dequantized weight).
+    precision = precision or Precision()
+    params = cast_params_for_inference(params, precision)
     params, precision = quantize_for_serving(
-        params, precision or Precision(), int8=int8, int4=int4,
+        params, precision, int8=int8, int4=int4,
         kv_int8=kv_int8,
     )
-    # inference holds no fp32 masters (~halves weight HBM at 2B+ scales)
-    params = cast_params_for_inference(params, precision)
     model = AIGVAssessor(config, precision)
     params = adapt_layer_format(params, config)
     return config, model, params, tokenizer
@@ -63,20 +70,26 @@ def cast_params_for_inference(params, precision: Precision):
     Training holds fp32 masters (the optimizer needs them); serving/eval do
     not — the forward casts to bf16 anyway, so fp32 storage only doubles
     HBM (9.7 GB of masters at 2B pushed the fused 2-perspective eval to
-    22.7 GB and OOM'd a 16 GB chip). Non-f32 leaves (int8/int4 kernels,
-    quantization scales) pass through untouched."""
-    import jax
+    22.7 GB and OOM'd a 16 GB chip). Non-f32 leaves (int8/int4 kernels) and
+    fp32 dequant scales (kernel_scale/kernel_scale4 — the int kernels need
+    them full-precision) pass through untouched."""
     import jax.numpy as jnp
+    from flax import traverse_util
 
     if precision.compute_dtype != jnp.bfloat16:
         return params
 
-    def cast(x):
-        if hasattr(x, "dtype") and x.dtype == jnp.float32:
-            return x.astype(jnp.bfloat16)
-        return x
-
-    return jax.tree_util.tree_map(cast, params)
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for key, x in flat.items():
+        if (
+            str(key[-1]) not in ("kernel_scale", "kernel_scale4")
+            and hasattr(x, "dtype")
+            and x.dtype == jnp.float32
+        ):
+            x = x.astype(jnp.bfloat16)
+        out[key] = x
+    return traverse_util.unflatten_dict(out)
 
 
 def quantize_for_serving(
@@ -125,10 +138,11 @@ def quantize_for_serving(
             params = quantize_tree(params)
         precision = dataclasses.replace(precision, int8_weights=True)
     elif has_i8 or has_i4:
-        # quantized storage, full-precision serving: dequantize at load
+        # quantized storage, full-precision serving: dequantize at load,
+        # straight to the compute dtype (no fp32 copies to cast later)
         from aigv_assessor_tpu.tools.convert_to_int8 import dequantize_tree
 
-        params = dequantize_tree(params)
+        params = dequantize_tree(params, dtype=precision.compute_dtype)
     if kv_int8:
         precision = dataclasses.replace(precision, kv_int8=True)
     return params, precision

@@ -178,6 +178,17 @@ def evaluate_perspectives(
     p_count = len(datasets)
     n = len(datasets[0])
     assert all(len(d) == n for d in datasets), "perspective datasets differ in size"
+    for pi, d in enumerate(datasets):
+        if not hasattr(d, "get_text_item"):
+            # build_datasets returns a WeightedConcatDataset for multi-entry
+            # metas; the fused evaluator pairs videos by index across the P
+            # metas, which only makes sense for one dataset per perspective
+            raise ValueError(
+                f"fused eval perspective {pi}: meta resolves to "
+                f"{type(d).__name__}; --fused_meta_paths requires each "
+                "perspective meta to contain exactly ONE dataset entry "
+                "(run multi-entry metas through the solo eval path)"
+            )
     texts = [[d.get_text_item(i) for i in range(n)] for d in datasets]
     for pi in range(1, p_count):
         for i in range(n):
@@ -201,28 +212,16 @@ def evaluate_perspectives(
     # EVERY (video, perspective) — only the question + teacher-forced answer
     # differ after them — so the LLM prefill over that prefix runs once per
     # video (same contract and guards as cli/score.py shared_prefix)
+    from aigv_assessor_tpu.cli.common import compute_shared_prefix_len
+
     flat = [
         t.input_ids[: real_lens[pi][i]]
         for pi, row in enumerate(texts)
         for i, t in enumerate(row)
     ]
-    prefix_len = min(len(x) for x in flat)
-    first = flat[0]
-    for x in flat[1:]:
-        i = 0
-        while i < prefix_len and x[i] == first[i]:
-            i += 1
-        prefix_len = min(prefix_len, i)
-    ctx_id = model.config.img_context_token_id
-    ctx_pos = np.nonzero(np.asarray(first) == ctx_id)[0]
-    min_suffix = min(len(x) for x in flat) - prefix_len
-    if (
-        prefix_len < 8
-        or ctx_pos.size == 0
-        or int(ctx_pos.max()) >= prefix_len
-        or min_suffix < 4  # room for the hidden[-4] read-out
-    ):
-        prefix_len = 0
+    prefix_len = compute_shared_prefix_len(
+        flat, model.config.img_context_token_id
+    )
     forward_fn = _persp_forward(model, prefix_len or None)
     rows = [[] for _ in range(p_count)]
     idx_chunks = [
@@ -230,8 +229,9 @@ def evaluate_perspectives(
     ]
 
     def pixels_for(i):
-        # decode ONCE per video, from the first perspective's dataset
-        return datasets[0][i].pixel_values
+        # decode ONCE per video, from the first perspective's dataset —
+        # decode-only (the tokens already came from get_text_item)
+        return datasets[0].get_pixel_item(i)
 
     with ThreadPoolExecutor(workers) as pool:
         futures = {}

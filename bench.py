@@ -367,6 +367,11 @@ def bench_decode(on_tpu: bool, int4: bool = False, kv_int8: bool = False,
 
 
 def main() -> None:
+    # persist compiled programs across bench runs (identical executables;
+    # timing loops exclude compile anyway — this only cuts wall-clock)
+    from aigv_assessor_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     on_tpu = _is_tpu()
     fast = os.environ.get("AIGV_BENCH_FAST", "0") == "1"
 

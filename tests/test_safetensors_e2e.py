@@ -174,3 +174,40 @@ class TestConfigRoundTrip:
         assert d2.llm.num_key_value_heads == cfg.llm.num_key_value_heads
         assert d2.vision.num_hidden_layers == cfg.vision.num_hidden_layers
         assert d2.template == cfg.template
+
+
+class TestQuantizedLoadDtypes:
+    def test_int8_load_keeps_fp32_scales(self, ckpt):
+        """load_model_and_tokenizer(int8=True) at bf16 serving precision:
+        dequant scales must stay fp32 (bf16 scales add ~0.4% relative error
+        on every dequantized weight) while plain fp32 weights are cast to
+        bf16 — matching cli/common.build_serving_stack's cast-then-quantize
+        order."""
+        d, cfg = ckpt
+        msg = os.path.join(d, "params.msgpack")
+        if not os.path.exists(msg):
+            from aigv_assessor_tpu.tools import convert_weights
+
+            convert_weights.main(
+                ["--torch_ckpt", d, "--config",
+                 os.path.join(d, "config.json"), "--out", msg, "--strict"]
+            )
+        from aigv_assessor_tpu.models.loading import load_model_and_tokenizer
+
+        _, model, params, _ = load_model_and_tokenizer(d, stage=2, int8=True)
+        flat = traverse_util.flatten_dict(params)
+        scales = {k: v for k, v in flat.items() if str(k[-1]) == "kernel_scale"}
+        assert scales, "int8 load produced no kernel_scale leaves"
+        for k, v in scales.items():
+            assert v.dtype == np.float32, (k, v.dtype)
+        kernels = [
+            v for k, v in flat.items() if str(k[-1]) == "kernel_int8"
+        ]
+        assert kernels and all(v.dtype == np.int8 for v in kernels)
+        # non-quantized fp32 storage was cast down for serving
+        others = [
+            v for k, v in flat.items()
+            if str(k[-1]) not in ("kernel_scale", "kernel_int8")
+            and hasattr(v, "dtype") and v.dtype == np.float32
+        ]
+        assert not others, f"{len(others)} fp32 leaves survived the cast"
