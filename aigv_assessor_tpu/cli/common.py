@@ -217,15 +217,19 @@ def build_serving_stack(
     )
     from aigv_assessor_tpu.models.loading import cast_params_for_inference
 
-    # serving holds no fp32 masters: ~halves weight HBM (9.7 GB at 2B)
-    params = cast_params_for_inference(params, model.precision)
+    # quantize from the fp32 originals first (bf16-rounding before
+    # quantization adds ~0.4% rel err), then drop the fp32 masters:
+    # serving holds none — ~halves weight HBM (9.7 GB at 2B). The cast
+    # skips the fp32 dequant scales.
+    precision = model.precision
     if int8 or int4 or kv_int8:
         from aigv_assessor_tpu.models.loading import quantize_for_serving
 
         params, precision = quantize_for_serving(
-            params, model.precision, int8=int8, int4=int4, kv_int8=kv_int8
+            params, precision, int8=int8, int4=int4, kv_int8=kv_int8
         )
         model = AIGVAssessor(config, precision)
+    params = cast_params_for_inference(params, precision)
     return config, model, params, tokenizer
 
 

@@ -191,8 +191,16 @@ class ScoringService:
 
     def submit(self, pixels: np.ndarray) -> np.ndarray:
         """Blocks until scored; returns [P] float scores (mos-scaled)."""
+        if self._stop.is_set():
+            raise RuntimeError("service is closed")
         job = _Job(pixels=pixels)
         self._q.put(job)
+        if self._stop.is_set() and not job.done.is_set():
+            # close() may have drained the queue between our check and the
+            # put; if the job is still queued, fail it here rather than
+            # park forever on done.wait()
+            job.error = "service closed before the job was scored"
+            job.done.set()
         job.done.wait()
         if job.error is not None:
             raise RuntimeError(job.error)
@@ -200,17 +208,22 @@ class ScoringService:
 
     def close(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=5)
         # the device loop exits without draining: fail queued jobs and any
         # un-flushed one-deep `pending` batch so no submit() caller is left
-        # parked forever on job.done (in-flight handlers during shutdown)
+        # parked forever on job.done (in-flight handlers during shutdown).
+        # Loop until the worker has actually exited — a single timed join
+        # could return during a >5s cold compile and race the live loop.
         while True:
-            try:
-                job = self._q.get_nowait()
-            except queue.Empty:
+            self._thread.join(timeout=5)
+            while True:
+                try:
+                    job = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                job.error = "service closed before the job was scored"
+                job.done.set()
+            if not self._thread.is_alive():
                 break
-            job.error = "service closed before the job was scored"
-            job.done.set()
 
     # ------------------------------------------------------------ device ---
 

@@ -22,12 +22,13 @@ import os
 logger = logging.getLogger(__name__)
 
 _ENABLED = False
+_PATH: str | None = None
 
 
 def enable_compilation_cache() -> str | None:
     """Idempotently point JAX's persistent compilation cache at a local
-    directory. Returns the cache dir, or None when disabled."""
-    global _ENABLED
+    directory. Returns the cache dir actually in use, or None when disabled."""
+    global _ENABLED, _PATH
     raw = os.environ.get("AIGV_COMPILE_CACHE", "")
     if raw in ("0", "off", "none"):
         return None
@@ -35,7 +36,24 @@ def enable_compilation_cache() -> str | None:
         os.path.expanduser("~"), ".cache", "aigv_assessor_tpu", "jax"
     )
     if _ENABLED:
-        return path
+        if path == _PATH:
+            return _PATH
+        # A different dir was requested after init: JAX's in-memory cache
+        # handle is process-global, so drop it and repoint the config —
+        # otherwise we'd return/log a directory that is not the one in use.
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:  # pragma: no cover - private-API drift
+            logger.warning(
+                "compilation cache already initialized at %s; cannot repoint "
+                "to %s in this JAX build",
+                _PATH,
+                path,
+            )
+            return _PATH
+        _ENABLED = False
     import jax
 
     try:
@@ -49,5 +67,6 @@ def enable_compilation_cache() -> str | None:
         logger.warning("persistent compilation cache unavailable: %r", e)
         return None
     _ENABLED = True
+    _PATH = path
     logger.info("persistent compilation cache: %s", path)
     return path

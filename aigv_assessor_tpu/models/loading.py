@@ -50,15 +50,17 @@ def load_model_and_tokenizer(
         params = serialization.msgpack_restore(f.read())
 
     # inference holds no fp32 masters (~halves weight HBM at 2B+ scales).
-    # Cast BEFORE quantizing, matching cli/common.build_serving_stack: the
-    # reverse order would also cast the fresh fp32 dequant scales to bf16
-    # (~0.4% extra relative error on every dequantized weight).
+    # Quantize BEFORE casting, matching cli/common.build_serving_stack:
+    # int8/int4 values come from the original fp32 weights (quantizing
+    # bf16-rounded copies adds ~0.4% relative error on top of quantization),
+    # and the cast skips the fresh fp32 dequant scales
+    # (kernel_scale/kernel_scale4) so they stay full-precision.
     precision = precision or Precision()
-    params = cast_params_for_inference(params, precision)
     params, precision = quantize_for_serving(
         params, precision, int8=int8, int4=int4,
         kv_int8=kv_int8,
     )
+    params = cast_params_for_inference(params, precision)
     model = AIGVAssessor(config, precision)
     params = adapt_layer_format(params, config)
     return config, model, params, tokenizer
