@@ -181,6 +181,7 @@ def build_serving_stack(
     int8: bool = False,
     int4: bool = False,
     kv_int8: bool = False,
+    w8a8: bool = False,
     stage: int = 2,
 ):
     """(config, model, params, tokenizer) for the serving CLIs (score/serve):
@@ -222,11 +223,12 @@ def build_serving_stack(
     # serving holds none — ~halves weight HBM (9.7 GB at 2B). The cast
     # skips the fp32 dequant scales.
     precision = model.precision
-    if int8 or int4 or kv_int8:
+    if int8 or int4 or kv_int8 or w8a8:
         from aigv_assessor_tpu.models.loading import quantize_for_serving
 
         params, precision = quantize_for_serving(
-            params, precision, int8=int8, int4=int4, kv_int8=kv_int8
+            params, precision, int8=int8, int4=int4, kv_int8=kv_int8,
+            w8a8=w8a8,
         )
         model = AIGVAssessor(config, precision)
     params = cast_params_for_inference(params, precision)

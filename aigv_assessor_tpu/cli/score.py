@@ -103,6 +103,9 @@ def main(argv=None):
     ap.add_argument("--int8", type=_bool, default=False,
                     help="W8A16 serving: int8 LLM kernels (HBM footprint; "
                          "the load_in_8bit counterpart)")
+    ap.add_argument("--w8a8", type=_bool, default=False,
+                    help="int8 MXU compute in both towers (~1.8x bf16 "
+                         "prefill/encode on v5e; ops/w8a8.py)")
     ap.add_argument("--int4", type=_bool, default=False,
                     help="W4A16 serving: nibble-packed int4 LLM kernels "
                          "unpacked in-kernel (the load_in_4bit counterpart)")
@@ -122,6 +125,7 @@ def main(argv=None):
         bf16=args.bf16,
         int8=args.int8,
         int4=args.int4,
+        w8a8=args.w8a8,
     )
     image_size = config.force_image_size or config.vision.image_size
 

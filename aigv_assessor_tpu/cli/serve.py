@@ -80,6 +80,7 @@ class ScoringService:
         bf16: bool = True,
         int8: bool = False,
         int4: bool = False,
+        w8a8: bool = False,
         mos_scale: float = 100.0,
         shared_prefix: bool = True,
         max_seq_length: int = 4096,
@@ -100,6 +101,7 @@ class ScoringService:
             bf16=bf16,
             int8=int8,
             int4=int4,
+            w8a8=w8a8,
         )
         self.questions = questions
         self.batch_size = batch_size
@@ -381,6 +383,7 @@ def main(argv=None):
     ap.add_argument("--bf16", type=_bool, default=True)
     ap.add_argument("--int8", type=_bool, default=False)
     ap.add_argument("--int4", type=_bool, default=False)
+    ap.add_argument("--w8a8", type=_bool, default=False)
     ap.add_argument("--mos_scale", type=float, default=100.0)
     ap.add_argument("--max_seq_length", type=int, default=4096)
     ap.add_argument("--device_preprocess", type=_bool, default=True,
@@ -401,6 +404,7 @@ def main(argv=None):
         bf16=args.bf16,
         int8=args.int8,
         int4=args.int4,
+        w8a8=args.w8a8,
         mos_scale=args.mos_scale,
         max_seq_length=args.max_seq_length,
         device_preprocess=args.device_preprocess,

@@ -38,6 +38,14 @@ class Precision:
     # 7B-class serving on a 16 GB chip. No reference counterpart (HF fp16
     # past_key_values); composes with int8/int4 weights.
     kv_int8: bool = False
+    # W8A8 serving: int8 x int8 -> int32 on the MXU via plain XLA
+    # (`ops/w8a8.py`) — ~1.8x bf16 matmul throughput on v5e (measured,
+    # benchmarks/int8_xla_probe.py). Weights per-channel int8 (same
+    # checkpoint format as W8A16), activations quantized per token on the
+    # fly. Applies to BOTH towers' dense layers (the compute-bound scoring
+    # path), not the LM head (fp32 logits parity). Mutually exclusive with
+    # int8_weights/int4_weights.
+    w8a8: bool = False
 
     def cast_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)

@@ -184,11 +184,20 @@ class AIGVAssessor(nn.Module):
         vit_embeds = vit_embeds.reshape(n, -1, vit_embeds.shape[-1])
         return self.mlp1(vit_embeds)
 
-    def extract_motion(self, frames: jnp.ndarray) -> jnp.ndarray:
+    def extract_motion(
+        self,
+        frames: jnp.ndarray,
+        features: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         """[B, T, H, W, 3] -> [B, C_llm]; SlowFast under stop_gradient (the
-        reference always runs it in no_grad, `modeling_internvl_chat.py:161`)."""
-        feat = self.slowfast_model(frames)
-        feat = jax.lax.stop_gradient(feat)
+        reference always runs it in no_grad, `modeling_internvl_chat.py:161`).
+
+        `features` short-circuits the SlowFast tower with precomputed
+        [B, feature_dim] motion features (offline feature stores, and the
+        differential parity tests that inject identical features into this
+        model and the reference's torch forward)."""
+        feat = self.slowfast_model(frames) if features is None else features
+        feat = jax.lax.stop_gradient(feat.astype(self.precision.compute_dtype))
         return self.motion_mlp(feat)
 
     def embed_multimodal(
@@ -197,6 +206,7 @@ class AIGVAssessor(nn.Module):
         pixel_values: jnp.ndarray,  # [B, T, H, W, 3]
         deterministic: bool = True,
         with_motion: bool = True,
+        motion_features: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.config
         b, t = pixel_values.shape[:2]
@@ -205,7 +215,11 @@ class AIGVAssessor(nn.Module):
         vit_embeds = vit_embeds.reshape(b, -1, vit_embeds.shape[-1])
 
         input_embeds = self.language_model.embed(input_ids)
-        motion_embeds = self.extract_motion(pixel_values) if with_motion else None
+        motion_embeds = (
+            self.extract_motion(pixel_values, features=motion_features)
+            if with_motion
+            else None
+        )
         return splice_image_embeds(
             input_embeds,
             input_ids,
@@ -227,6 +241,7 @@ class AIGVAssessor(nn.Module):
         position_ids: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         with_logits: bool = True,
+        motion_features: Optional[jnp.ndarray] = None,  # [B, feat] precomputed
     ) -> Dict[str, jnp.ndarray]:
         """Teacher-forced forward for training and eval.
 
@@ -237,7 +252,8 @@ class AIGVAssessor(nn.Module):
         """
         cfg = self.config
         input_embeds = self.embed_multimodal(
-            input_ids, pixel_values, deterministic, with_motion=True
+            input_ids, pixel_values, deterministic, with_motion=True,
+            motion_features=motion_features,
         )
         # score-only serving (stage-2 scoring, no labels) can skip the
         # [*, vocab] fp32 LM head — only `hidden` feeds the score read-out

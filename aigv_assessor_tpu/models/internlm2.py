@@ -146,6 +146,7 @@ class InternLM2Attention(nn.Module):
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
                 head_major=hq + 2 * hkv,
+                w8a8=self.precision.w8a8,
                 name="wqkv",
             )(x, deterministic)  # [B, hq+2*hkv, S, d]
             q = qkv[:, :hq]
@@ -175,6 +176,7 @@ class InternLM2Attention(nn.Module):
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
                 head_major_in=True,
+                w8a8=self.precision.w8a8,
                 name="wo",
             )(out, deterministic)
             return out, new_cache
@@ -186,6 +188,7 @@ class InternLM2Attention(nn.Module):
             lora=self.lora,
             int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="wqkv",
         )(x, deterministic)
         q = qkv[..., : hq * d].reshape(b, s, hq, d)
@@ -244,6 +247,7 @@ class InternLM2Attention(nn.Module):
             lora=self.lora,
             int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="wo",
         )(out, deterministic)
         return out, new_cache
@@ -261,18 +265,21 @@ class InternLM2MLP(nn.Module):
             cfg.intermediate_size, dtype=self.precision.compute_dtype,
             lora=self.lora, int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="w1",
         )(x, deterministic)
         w3 = LoRADense(
             cfg.intermediate_size, dtype=self.precision.compute_dtype,
             lora=self.lora, int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="w3",
         )(x, deterministic)
         return LoRADense(
             cfg.hidden_size, dtype=self.precision.compute_dtype,
             lora=self.lora, int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="w2",
         )(nn.silu(w1) * w3, deterministic)
 

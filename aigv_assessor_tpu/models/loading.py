@@ -29,6 +29,7 @@ def load_model_and_tokenizer(
     int8: bool = False,
     int4: bool = False,
     kv_int8: bool = False,
+    w8a8: bool = False,
 ) -> Tuple[AssessorConfig, AIGVAssessor, dict, AIGVTokenizer]:
     """Load (config, model, params, tokenizer) from a checkpoint directory
     containing config.json + params.msgpack + tokenizer.json.
@@ -58,7 +59,7 @@ def load_model_and_tokenizer(
     precision = precision or Precision()
     params, precision = quantize_for_serving(
         params, precision, int8=int8, int4=int4,
-        kv_int8=kv_int8,
+        kv_int8=kv_int8, w8a8=w8a8,
     )
     params = cast_params_for_inference(params, precision)
     model = AIGVAssessor(config, precision)
@@ -100,11 +101,14 @@ def quantize_for_serving(
     int8: bool = False,
     int4: bool = False,
     kv_int8: bool = False,
+    w8a8: bool = False,
 ) -> Tuple[dict, Precision]:
     """Convert a parameter tree and Precision for quantized serving.
 
     int4: W4A16 — keep (or create) nibble-packed int4 LLM kernels; the
     matmul unpacks in-kernel (`ops/int8_matmul.int4_matmul`). int8: W8A16.
+    w8a8: int8 MXU compute for BOTH towers' dense layers (`ops/w8a8.py`,
+    ~1.8x bf16 prefill/encode throughput on v5e) — LM head stays float.
     Neither: quantized checkpoints dequantize to the compute dtype. The
     TPU-native `load_in_8bit`/`load_in_4bit`
     (`/root/reference/internvl/model/__init__.py:32-44`)."""
@@ -115,6 +119,25 @@ def quantize_for_serving(
     flat = traverse_util.flatten_dict(params)
     has_i8 = any(str(k[-1]) == "kernel_int8" for k in flat)
     has_i4 = any(str(k[-1]) == "kernel_int4" for k in flat)
+    if w8a8:
+        assert not (int8 or int4), "w8a8 excludes int8/int4 weight streaming"
+        from aigv_assessor_tpu.tools.convert_to_int8 import (
+            dequantize_tree,
+            quantize_tree,
+        )
+
+        if has_i8 or has_i4:
+            params = dequantize_tree(params)
+        params = quantize_tree(
+            params,
+            scope=("language_model", "vision_model"),
+            exclude=("output",),
+            only_base=True,
+        )
+        precision = dataclasses.replace(precision, w8a8=True)
+        if kv_int8:
+            precision = dataclasses.replace(precision, kv_int8=True)
+        return params, precision
     if int4:
         from aigv_assessor_tpu.tools.convert_to_int8 import (
             dequantize_tree,

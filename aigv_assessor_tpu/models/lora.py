@@ -95,6 +95,52 @@ class Int4Dense(nn.Module):
         return y
 
 
+class W8A8Dense(nn.Module):
+    """Dense over per-channel int8 weights with on-the-fly per-token int8
+    activation quantization — int8 x int8 on the MXU at ~1.8x the bf16 rate
+    (`ops/w8a8.py`). Same param names/format as Int8Dense, so int8
+    checkpoints serve either W8A16 (bandwidth) or W8A8 (compute)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+    # head-major fusion modes, mirroring _HeadMajorDense/_HeadMajorOutDense
+    head_major: Optional[int] = None
+    head_major_in: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from aigv_assessor_tpu.ops import w8a8 as ops
+
+        in_dim = (
+            x.shape[1] * x.shape[3] if self.head_major_in else x.shape[-1]
+        )
+        kernel = self.param(
+            "kernel_int8", nn.initializers.zeros, (in_dim, self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        if self.head_major:
+            return ops.w8a8_head_major(
+                x, kernel, scale, self.head_major, bias=bias,
+                out_dtype=self.dtype,
+            )
+        if self.head_major_in:
+            return ops.w8a8_head_major_in(
+                x, kernel, scale, bias=bias, out_dtype=self.dtype
+            )
+        return ops.w8a8_matmul(x, kernel, scale, bias=bias, out_dtype=self.dtype)
+
+
 class _HeadMajorDense(nn.Module):
     """Dense whose output is emitted head-major [B, heads, S, D] straight
     from the projection einsum ('bsc,chd->bhsd') — XLA fuses the transpose
@@ -161,6 +207,7 @@ class LoRADense(nn.Module):
     lora: Optional[LoRAConfig] = None
     int8: bool = False  # W8A16 serving base (Int8Dense)
     int4: bool = False  # W4A16 serving base (Int4Dense)
+    w8a8: bool = False  # int8 MXU compute base (W8A8Dense)
     # head-major fusion modes (mutually exclusive): `head_major` emits
     # [B, heads, S, D]; `head_major_in` consumes that layout
     head_major: Optional[int] = None
@@ -169,7 +216,14 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         quant = self.int8 or self.int4
-        if self.head_major:
+        if self.w8a8:
+            assert not quant, "w8a8 excludes int8/int4 weight streaming"
+            y = W8A8Dense(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                head_major=self.head_major, head_major_in=self.head_major_in,
+                name="base",
+            )(x)
+        elif self.head_major:
             assert not quant, "quantized + head_major not supported"
             y = _HeadMajorDense(
                 self.features, self.head_major, use_bias=self.use_bias,

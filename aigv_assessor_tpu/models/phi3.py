@@ -177,6 +177,7 @@ class Phi3Attention(nn.Module):
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
                 head_major=hq + 2 * hkv,
+                w8a8=self.precision.w8a8,
                 name="qkv_proj",
             )(x, deterministic)  # [B, hq+2*hkv, S, d]
             q = qkv[:, :hq]
@@ -197,7 +198,7 @@ class Phi3Attention(nn.Module):
                 out = fused_qkv_attention(qkv, hq, hkv, causal=True)
             out = LoRADense(
                 c, dtype=self.precision.compute_dtype, lora=self.lora,
-                head_major_in=True, name="o_proj",
+                head_major_in=True, w8a8=self.precision.w8a8, name="o_proj",
             )(out, deterministic)
             return out, new_cache
 
@@ -207,6 +208,7 @@ class Phi3Attention(nn.Module):
             lora=self.lora,
             int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="qkv_proj",
         )(x, deterministic)
         q = qkv[..., : hq * d].reshape(b, s, hq, d)
@@ -255,7 +257,8 @@ class Phi3Attention(nn.Module):
             LoRADense(
                 c, dtype=self.precision.compute_dtype, lora=self.lora,
                 int8=self.precision.int8_weights,
-                int4=self.precision.int4_weights, name="o_proj",
+                int4=self.precision.int4_weights,
+                w8a8=self.precision.w8a8, name="o_proj",
             )(out, deterministic),
             new_cache,
         )
@@ -275,6 +278,7 @@ class Phi3MLP(nn.Module):
             lora=self.lora,
             int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="gate_up_proj",
         )(x, deterministic)
         gate, up = jnp.split(gate_up, 2, axis=-1)
@@ -284,6 +288,7 @@ class Phi3MLP(nn.Module):
             lora=self.lora,
             int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="down_proj",
         )(nn.silu(gate) * up, deterministic)
 

@@ -13,8 +13,9 @@ TPU-first differences from the reference:
 - NHWC pixel layout (XLA's native conv layout on TPU) instead of NCHW.
 - attention runs through the shared flash-attention dispatch
   (`aigv_assessor_tpu.ops.attention`) -> Pallas kernel on TPU.
-- position-embedding interpolation uses `jax.image.resize` bicubic *on
-  device* at trace time (static target shape), not a host-side torch call.
+- position-embedding interpolation runs *on device* as two constant
+  matmuls with torch-exact bicubic weights (`ops/resize.py`), not a
+  host-side torch call.
 - gradient checkpointing is applied by the trainer via `jax.checkpoint`
   policies on the scan-over-layers, not per-module flags.
 """
@@ -111,15 +112,17 @@ class InternVisionEmbeddings(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
 
         # interpolate grid part of the pos embed to (h, w) when the input
-        # resolution differs from training resolution; on-device bicubic,
-        # mirrors reference `_get_pos_embed` (`modeling_intern_vit.py:87-93`).
+        # resolution differs from training resolution; torch-exact bicubic
+        # (A=-0.75, align_corners=False) as two constant matmuls, mirroring
+        # reference `_get_pos_embed` (`modeling_intern_vit.py:87-93`) —
+        # jax.image.resize's bicubic (A=-0.5) drifts ~1e-2 from torch's.
         side = cfg.num_patches_per_side
         grid = pos_embed[:, 1:, :]
         if (h, w) != (side, side):
+            from aigv_assessor_tpu.ops.resize import bicubic_resize_grid
+
             grid = grid.reshape(1, side, side, cfg.hidden_size)
-            grid = jax.image.resize(
-                grid, (1, h, w, cfg.hidden_size), method="bicubic"
-            )
+            grid = bicubic_resize_grid(grid, h, w)
             grid = grid.reshape(1, h * w, cfg.hidden_size)
         pos = jnp.concatenate([pos_embed[:, :1, :], grid], axis=1)
         return x + pos.astype(x.dtype)
@@ -151,6 +154,7 @@ class InternAttention(nn.Module):
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
                 head_major=3 * h,
+                w8a8=self.precision.w8a8,
                 name="qkv",
             )(x, deterministic)  # [B, 3H, N, D]
             out = fused_qkv_attention(
@@ -162,6 +166,7 @@ class InternAttention(nn.Module):
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
                 head_major_in=True,
+                w8a8=self.precision.w8a8,
                 name="proj",
             )(out, deterministic)
 
@@ -170,6 +175,7 @@ class InternAttention(nn.Module):
             use_bias=cfg.qkv_bias,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            w8a8=self.precision.w8a8,
             name="qkv",
         )(x, deterministic)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, C]
@@ -189,6 +195,7 @@ class InternAttention(nn.Module):
             use_bias=True,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            w8a8=self.precision.w8a8,
             name="proj",
         )(out, deterministic)
 
@@ -206,6 +213,7 @@ class InternMLP(nn.Module):
             use_bias=True,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            w8a8=self.precision.w8a8,
             name="fc1",
         )(x, deterministic)
         x = nn.gelu(x, approximate=cfg.approximate_gelu)
@@ -214,6 +222,7 @@ class InternMLP(nn.Module):
             use_bias=True,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            w8a8=self.precision.w8a8,
             name="fc2",
         )(x, deterministic)
 

@@ -30,23 +30,40 @@ def dequantize_kernel(q: np.ndarray, scale: np.ndarray, dtype=np.float32):
 
 
 def quantize_tree(
-    params: dict, min_size: int = 4096, scope: str = "language_model"
+    params: dict,
+    min_size: int = 4096,
+    scope="language_model",
+    exclude: tuple = (),
+    only_base: bool = False,
 ) -> dict:
     """Quantize Dense kernels under `scope` (default: the LLM only — the
     W8A16 serving path runs int8 matmuls in the decoder; the ViT stays bf16
     where its batched encode is MXU-compute-bound, not weight-bound).
-    scope='' quantizes every eligible kernel."""
+    scope='' quantizes every eligible kernel; a tuple quantizes several
+    towers (the W8A8 MXU path quantizes BOTH towers but excludes the LM
+    head, which stays fp32-logits: pass exclude=('output',))."""
+    scopes = (scope,) if isinstance(scope, str) else tuple(scope)
     flat = traverse_util.flatten_dict(params)
     out = {}
     n_q = 0
     for key, v in flat.items():
         name = str(key[-1])
         v = np.asarray(v)
-        in_scope = not scope or any(str(k) == scope for k in key)
+        in_scope = not any(scopes) or any(str(k) in scopes for k in key)
+        if exclude and any(str(k) in exclude for k in key):
+            in_scope = False
         # LoRA adapters stay float (they are the trainable deltas); ndim 3 =
         # scan-over-layers stacked kernels [L, in, out]
         is_base_kernel = name == "kernel" and v.ndim in (2, 3)
-        if in_scope and is_base_kernel and v.size >= min_size:
+        if only_base:
+            # structural selection: exactly the LoRADense `base` kernels —
+            # the set the model dispatches to W8A8Dense — independent of
+            # kernel size (tiny test configs fall under any size floor)
+            is_base_kernel = is_base_kernel and len(key) >= 2 and str(key[-2]) == "base"
+            size_ok = True
+        else:
+            size_ok = v.size >= min_size
+        if in_scope and is_base_kernel and size_ok:
             q, scale = quantize_kernel(v)
             out[key[:-1] + ("kernel_int8",)] = q
             out[key[:-1] + ("kernel_scale",)] = scale

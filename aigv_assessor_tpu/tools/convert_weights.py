@@ -247,6 +247,25 @@ def convert(
                 put("language_model/norm/weight", v)
             elif k == "output.weight":
                 put("language_model/output/kernel", v.T)
+            # Phi-3 alt backbone (reference `internvl/model/phi3/` — HF
+            # layout: fused plain-concat qkv_proj / gate_up_proj)
+            elif k == "embed_tokens.weight":
+                put("language_model/embed_tokens/embedding", v)
+            elif k == "lm_head.weight":
+                put("language_model/lm_head/kernel", v.T)
+            elif re.match(
+                r"layers\.\d+\.(self_attn\.(qkv_proj|o_proj)|mlp\.(gate_up_proj|down_proj))\.weight",
+                k,
+            ):
+                m = re.match(r"layers\.(\d+)\.(.*)\.weight", k)
+                i, mod = m.group(1), m.group(2).replace(".", "/")
+                put(f"language_model/layers_{i}/{mod}/base/kernel", v.T)
+            elif re.match(
+                r"layers\.\d+\.(input_layernorm|post_attention_layernorm)\.weight",
+                k,
+            ):
+                m = re.match(r"layers\.(\d+)\.(.*)\.weight", k)
+                put(f"language_model/layers_{m.group(1)}/{m.group(2)}/weight", v)
             else:
                 m = re.match(r"layers\.(\d+)\.(.*)", k)
                 if not m:

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import argparse
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -23,15 +21,21 @@ from flax import serialization
 def resize_pos_embed(
     pos_embed: np.ndarray, old_size: int, new_size: int, patch_size: int
 ) -> np.ndarray:
-    """pos_embed [1, 1 + (old/p)^2, C] -> [1, 1 + (new/p)^2, C]."""
+    """pos_embed [1, 1 + (old/p)^2, C] -> [1, 1 + (new/p)^2, C].
+
+    Torch-exact bicubic (A=-0.75, align_corners=False — `ops/resize.py`),
+    matching the reference's `F.interpolate(..., mode='bicubic')` so
+    offline-resized checkpoints agree with torch-resized ones."""
+    from aigv_assessor_tpu.ops.resize import bicubic_matrix
+
     old_side = old_size // patch_size
     new_side = new_size // patch_size
     cls, grid = pos_embed[:, :1], pos_embed[:, 1:]
     c = grid.shape[-1]
-    grid = grid.reshape(1, old_side, old_side, c)
-    grid = np.asarray(
-        jax.image.resize(jnp.asarray(grid), (1, new_side, new_side, c), "bicubic")
-    )
+    grid = grid.reshape(old_side, old_side, c).astype(np.float64)
+    m = bicubic_matrix(old_side, new_side).astype(np.float64)
+    grid = np.einsum("hH,HWc,wW->hwc", m, grid, m)
+    grid = grid.astype(pos_embed.dtype)
     return np.concatenate([cls, grid.reshape(1, new_side * new_side, c)], axis=1)
 
 

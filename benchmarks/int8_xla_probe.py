@@ -41,8 +41,12 @@ def time_chained(fn, args, iters):
     def run(x, *ws, n):
         def body(i, x):
             out = fn(x, *ws)
-            # fold one element back into x to carry a data dependence
-            return x.at[:1, :1].set(out[:1, :1].astype(x.dtype))
+            # consume EVERY element (max-reduce) before folding back into x:
+            # feeding only out[:1,:1] lets XLA slice the in-loop matmul down
+            # to a single dot product (the round-2 DCE trap — bf16 slopes
+            # measured 0.0 that way). max keeps values finite across iters.
+            s = jnp.max(out)
+            return x.at[:1, :1].set(s.astype(x.dtype)[None, None])
 
         x = jax.lax.fori_loop(0, n, body, x)
         return jnp.sum(fn(x, *ws).astype(jnp.float32))
