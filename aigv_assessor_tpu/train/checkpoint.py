@@ -58,12 +58,35 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+    def restore(
+        self, state_template: Any, step: Optional[int] = None, mesh=None
+    ) -> Any:
+        """Restore into the template's shardings. Pass `mesh` when resuming
+        under a (multi-process) mesh: leaves the template created OFF the
+        mesh — fresh scalar step counters/opt counts live uncommitted on
+        local device 0 — are restored replicated over the mesh instead
+        (restoring them single-device made the next train step reject the
+        mixed-device state on a 2-process mesh)."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh_devices = (
+            set(np.asarray(mesh.devices).flat) if mesh is not None else None
+        )
+
+        def to_abstract(x):
+            if not isinstance(x, jax.Array):
+                return x
+            sharding = x.sharding
+            if mesh_devices is not None and set(sharding.device_set) != mesh_devices:
+                sharding = NamedSharding(mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+        template = jax.tree_util.tree_map(to_abstract, state_template)
         return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template)
+            step, args=ocp.args.StandardRestore(template)
         )
 
     def restore_best(self, state_template: Any) -> Any:

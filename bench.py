@@ -79,7 +79,12 @@ def _zero_params_like(shapes, dtype=jnp.bfloat16):
     )
 
 
-def _pipeline_setup(on_tpu: bool, stage: int = 2, batch: int | None = None):
+def _pipeline_setup(
+    on_tpu: bool,
+    stage: int = 2,
+    batch: int | None = None,
+    w8a8: bool = False,
+):
     from aigv_assessor_tpu.cli.common import LLM_2B
     from aigv_assessor_tpu.core.config import AssessorConfig
     from aigv_assessor_tpu.core.precision import Precision
@@ -97,6 +102,12 @@ def _pipeline_setup(on_tpu: bool, stage: int = 2, batch: int | None = None):
     # CPU smoke runs fp32: the CPU backend's DotThunk has no bf16 path
     prec, fdt = (Precision(), jnp.bfloat16) if on_tpu else (
         Precision.fp32(), jnp.float32)
+    if w8a8:
+        # int8 MXU compute in both towers (`ops/w8a8.py`; measured 1.7-2x
+        # bf16 on these shapes — benchmarks/int8_xla_probe.py round 4)
+        import dataclasses
+
+        prec = dataclasses.replace(prec, w8a8=True)
     model = AIGVAssessor(cfg, prec)
     n_ctx = t * cfg.num_image_token + 1
     seq = n_ctx + text_len
@@ -113,11 +124,11 @@ def _pipeline_setup(on_tpu: bool, stage: int = 2, batch: int | None = None):
     return cfg, model, params, ids, px, mask, seq, (b, t, image)
 
 
-def bench_pipeline(on_tpu: bool, batch: int | None = None):
+def bench_pipeline(on_tpu: bool, batch: int | None = None, w8a8: bool = False):
     """Flagship: videos scored/sec/chip at 2B scale (tiny on CPU smoke).
     Also returns the per-batch time for the fused-speedup comparison."""
     cfg, model, params, ids, px, mask, seq, (b, t, image) = _pipeline_setup(
-        on_tpu, batch=batch
+        on_tpu, batch=batch, w8a8=w8a8
     )
 
     @jax.jit
@@ -166,17 +177,20 @@ def bench_perspectives(on_tpu: bool, setup, single_video_time: float):
     return persp_per_sec, speedup_vs_4x, samples
 
 
-def bench_vit(on_tpu: bool):
+def bench_vit(on_tpu: bool, w8a8: bool = False):
     """Secondary: ViT-300M encode frames/sec at bs=64."""
+    import dataclasses
+
     from aigv_assessor_tpu.core.config import VisionConfig
     from aigv_assessor_tpu.core.precision import Precision
     from aigv_assessor_tpu.models.vit import InternVisionModel
 
     cfg = VisionConfig() if on_tpu else VisionConfig.tiny()
     batch = 64 if on_tpu else 8
-    model = InternVisionModel(
-        cfg, Precision() if on_tpu else Precision.fp32()
-    )
+    prec = Precision() if on_tpu else Precision.fp32()
+    if w8a8:
+        prec = dataclasses.replace(prec, w8a8=True)
+    model = InternVisionModel(cfg, prec)
     x = jnp.asarray(
         np.random.default_rng(0).normal(
             size=(batch, cfg.image_size, cfg.image_size, 3)
@@ -375,6 +389,8 @@ def main() -> None:
     on_tpu = _is_tpu()
     fast = os.environ.get("AIGV_BENCH_FAST", "0") == "1"
 
+    import gc
+
     videos_per_sec, seq, single_video_time, pipe_samples, setup = (
         bench_pipeline(on_tpu)
     )
@@ -393,6 +409,7 @@ def main() -> None:
         "vit_vs_baseline": round(vit_fps / A100_REF_FRAMES_PER_SEC, 3),
     }
 
+    persp_best = None
     if not fast:
         try:
             persp_ps, speedup, _ = bench_perspectives(
@@ -400,13 +417,70 @@ def main() -> None:
             )
             record["perspectives_scored_per_sec_chip"] = round(persp_ps, 3)
             record["fused_speedup_vs_4x"] = round(speedup, 3)
+            persp_best = persp_ps
         except Exception as e:  # pragma: no cover
             record["perspectives_error"] = repr(e)[:200]
-        # free the ~5 GB of pipeline params before the train sections —
+        # free the ~5 GB of pipeline params before the next sections —
         # keeping them alive OOMs the 16 GB chip under the fp32 train state
-        import gc
-
         del setup
+        gc.collect()
+        jax.clear_caches()
+
+        # ---- W8A8 (int8 MXU) scoring: the post-bf16-roofline lever ----
+        # int8 x int8 -> int32 runs natively at ~1.8x the bf16 MXU rate on
+        # v5e (benchmarks/int8_xla_probe.py). If faster, it becomes the
+        # headline; bf16 numbers stay on the line for continuity.
+        try:
+            w8_vps, _, w8_svt, w8_samples, w8_setup = bench_pipeline(
+                on_tpu, w8a8=True
+            )
+            record["videos_scored_per_sec_chip_w8a8"] = round(w8_vps, 3)
+            try:
+                w8_persp, w8_speedup, _ = bench_perspectives(
+                    on_tpu, w8_setup, w8_svt
+                )
+                record["perspectives_scored_per_sec_chip_w8a8"] = round(
+                    w8_persp, 3
+                )
+                if persp_best is None or w8_persp > persp_best:
+                    persp_best = w8_persp
+            except Exception as e:  # pragma: no cover
+                record["perspectives_w8a8_error"] = repr(e)[:200]
+            del w8_setup
+            if w8_vps > videos_per_sec:
+                record["videos_scored_per_sec_bf16"] = record["value"]
+                record["value"] = round(w8_vps, 3)
+                record["vs_baseline"] = round(
+                    w8_vps / A100_REF_VIDEOS_PER_SEC, 3
+                )
+                record["spread"] = [
+                    round(min(w8_samples), 4), round(max(w8_samples), 4),
+                ]
+                record["config"] = record["config"].replace("bf16", "w8a8")
+        except Exception as e:  # pragma: no cover
+            record["w8a8_error"] = repr(e)[:200]
+        gc.collect()
+        jax.clear_caches()
+        try:
+            vit_w8 = bench_vit(on_tpu, w8a8=True)
+            record["vit_encode_frames_per_sec_w8a8"] = round(vit_w8, 2)
+            if vit_w8 > vit_fps:
+                record["vit_vs_baseline"] = round(
+                    vit_w8 / A100_REF_FRAMES_PER_SEC, 3
+                )
+        except Exception as e:  # pragma: no cover
+            record["vit_w8a8_error"] = repr(e)[:200]
+
+        # ---- protocol-level metric: videos FULLY assessed (4 perspectives,
+        # the paper's workload). The reference runs 4 separate full evals
+        # (`shell/train/stage2_train.sh:13`, SURVEY §0), so its protocol
+        # rate is A100_REF / 4.
+        if persp_best is not None:
+            v4 = persp_best / 4.0
+            record["videos_assessed_4persp_per_sec"] = round(v4, 3)
+            record["protocol_speedup"] = round(
+                v4 / (A100_REF_VIDEOS_PER_SEC / 4.0), 3
+            )
         gc.collect()
         try:
             tput, _ = bench_train_step(on_tpu, stage=1)

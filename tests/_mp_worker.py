@@ -35,8 +35,89 @@ def sample_for_index(idx: int, cfg):
     }
 
 
+def run_resume(pid: int, port: str, mode: str, ckpt_dir: str):
+    """Multi-process orbax save -> restart -> restore -> continue (the
+    v5p-32 FSDP resume contract; reference HF `get_last_checkpoint`,
+    `stage1_train.py:771-783`).
+
+    mode='chain_save': train 2 steps, orbax-save the sharded TrainState
+    (every process participates), train step 3 uninterrupted, print all
+    three losses.
+    mode='resume': fresh processes restore the step-2 state into the
+    sharded template and run step 3; its loss must equal chain_save's
+    third loss exactly.
+    """
+    import jax
+
+    from aigv_assessor_tpu.core.dist import init_dist
+
+    init_dist(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and jax.device_count() == 8
+
+    from __graft_entry__ import _tiny_setup
+
+    from aigv_assessor_tpu.core.mesh import MeshConfig, make_mesh
+    from aigv_assessor_tpu.data.sampler import ShardedBatchSampler
+    from aigv_assessor_tpu.parallel.sharding import shard_batch
+    from aigv_assessor_tpu.train.checkpoint import CheckpointManager
+    from aigv_assessor_tpu.train.trainer import TrainConfig, Trainer, microbatch
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    cfg, model, params, _ = _tiny_setup(stage=2)
+    tcfg = TrainConfig(
+        learning_rate=1e-3,
+        warmup_ratio=0.0,
+        lr_scheduler_type="constant",
+        grad_checkpoint=True,
+        output_dir=f"/tmp/aigv_mp_resume_{mode}_{pid}",
+    )
+    trainer = Trainer(model, params, tcfg, total_steps=4, mesh=mesh)
+    step = trainer.compiled_step()
+    mgr = CheckpointManager(ckpt_dir)
+
+    # deterministic disjoint per-process shards for steps 0..2
+    sampler = ShardedBatchSampler(
+        12, 4, num_processes=2, process_index=pid, shuffle=False
+    )
+    step_indices = list(iter(sampler))[:3]
+
+    def device_batch(local_indices):
+        samples = [sample_for_index(i, cfg) for i in local_indices]
+        local = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        return shard_batch(microbatch(local, 1), mesh, batch_dim=1)
+
+    key = jax.random.key(0)
+    with mesh:
+        state = trainer.state
+        if mode == "chain_save":
+            losses = []
+            for s in range(3):
+                if s == 2:
+                    # after 2 optimizer steps, before the third
+                    mgr.save(2, state)
+                state, loss = step(state, device_batch(step_indices[s]), key)
+                losses.append(float(loss))
+            mgr.close()
+            print(
+                f"MP_RESUME_OK pid={pid} mode={mode} "
+                f"losses={losses[0]:.8f},{losses[1]:.8f},{losses[2]:.8f}"
+            )
+        else:
+            state = mgr.restore(state, mesh=mesh)
+            mgr.close()
+            state, loss = step(state, device_batch(step_indices[2]), key)
+            print(
+                f"MP_RESUME_OK pid={pid} mode={mode} loss3={float(loss):.8f}"
+            )
+
+
 def main():
     pid, port = int(sys.argv[1]), sys.argv[2]
+    if len(sys.argv) > 3:
+        run_resume(pid, port, sys.argv[3], sys.argv[4])
+        return
 
     import jax
 

