@@ -40,6 +40,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--freeze_mlp", type=_bool, default=False)
     p.add_argument("--unfreeze_lm_head", type=_bool, default=False)
     p.add_argument("--grad_checkpoint", type=_bool, default=True)
+    p.add_argument(
+        "--vit_remat_policy", type=str, default="",
+        help="jax.checkpoint_policies name for the ViT's per-layer remat "
+             "(e.g. dots_with_no_batch_dims_saveable); cuts the full "
+             "encoder recompute that ViT-LoRA training otherwise pays",
+    )
     # ---- data ----
     p.add_argument("--meta_path", type=str, required=True)
     p.add_argument(

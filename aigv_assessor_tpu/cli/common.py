@@ -167,7 +167,8 @@ def build_model_and_tokenizer(args, stage: int):
     config = config.replace(img_context_token_id=int(ctx_id))
     precision = Precision() if args.bf16 else Precision.fp32()
     model = AIGVAssessor(
-        config, precision, remat=bool(getattr(args, "grad_checkpoint", False))
+        config, precision, remat=bool(getattr(args, "grad_checkpoint", False)),
+        vit_remat_policy=getattr(args, "vit_remat_policy", None) or None,
     )
     params = init_or_load_params(model, args, config, seed=args.seed)
     return config, model, params, tokenizer

@@ -64,6 +64,47 @@ class _Job:
     error: Optional[str] = None
 
 
+class _Stats:
+    """Where does online time go? Accumulated by the device loop and the
+    decode path, snapshot via /statz — the offline-vs-online gap must be
+    attributable (batch underfill vs host decode vs device wait), not
+    guessed at."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.batches = 0
+        self.jobs = 0          # sum of real (non-pad) jobs over batches
+        self.linger_s = 0.0    # device loop: waiting to fill after 1st job
+        self.assemble_s = 0.0  # np.stack + h2d enqueue + dispatch
+        self.flush_s = 0.0     # blocking device readback wait
+        self.idle_s = 0.0      # q.get() timeouts with nothing pending
+        self.decode_s = 0.0    # handler-thread video decode + resize
+        self.decodes = 0
+
+    def add(self, **kw) -> None:
+        with self._lock:
+            for k, v in kw.items():
+                setattr(self, k, getattr(self, k) + v)
+
+    def snapshot(self, batch_size: int) -> dict:
+        with self._lock:
+            b = max(self.batches, 1)
+            return {
+                "batches": self.batches,
+                "jobs": self.jobs,
+                "mean_batch_fill": round(self.jobs / b, 3),
+                "batch_capacity": batch_size,
+                "linger_s_per_batch": round(self.linger_s / b, 4),
+                "assemble_s_per_batch": round(self.assemble_s / b, 4),
+                "flush_s_per_batch": round(self.flush_s / b, 4),
+                "idle_s_total": round(self.idle_s, 3),
+                "decodes": self.decodes,
+                "decode_s_mean": round(
+                    self.decode_s / max(self.decodes, 1), 4
+                ),
+            }
+
+
 class ScoringService:
     """Micro-batching wrapper around the fused perspective scorer: submit()
     blocks until the device thread has scored the caller's video inside a
@@ -154,6 +195,7 @@ class ScoringService:
 
         self._score_batch = score_batch
         self._jnp = jnp
+        self.stats = _Stats()
         self._q: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._device_loop, daemon=True)
@@ -170,6 +212,13 @@ class ScoringService:
         self.submit(px)
 
     def decode(self, path: str) -> np.ndarray:
+        t0 = time.monotonic()
+        try:
+            return self._decode(path)
+        finally:
+            self.stats.add(decode_s=time.monotonic() - t0, decodes=1)
+
+    def _decode(self, path: str) -> np.ndarray:
         frames = load_video(path, num_segments=self.num_segments)
         if self.device_preprocess:
             # handler threads decode + resize; frames stay UINT8 and the
@@ -243,7 +292,9 @@ class ScoringService:
 
     def _flush(self, p) -> None:
         jobs, dev = p
+        t0 = time.monotonic()
         scores = np.asarray(dev)  # the only sync point
+        self.stats.add(flush_s=time.monotonic() - t0)
         for i, job in enumerate(jobs):
             job.scores = scores[i] * self.mos_scale
             job.done.set()
@@ -254,18 +305,22 @@ class ScoringService:
         flush = self._flush
 
         while not self._stop.is_set():
+            t_idle = time.monotonic()
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
                 if pending is not None:
                     flush(pending)
                     pending = None
+                else:
+                    self.stats.add(idle_s=time.monotonic() - t_idle)
                 continue
             jobs = [first]
             # micro-batch: linger until the first job's deadline, taking
             # whatever arrives — staggered arrivals (decode finishes on
             # different handler threads) must still coalesce into one batch
-            deadline = time.monotonic() + self.max_wait
+            t_linger = time.monotonic()
+            deadline = t_linger + self.max_wait
             while len(jobs) < self.batch_size:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -274,11 +329,17 @@ class ScoringService:
                     jobs.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            t_asm = time.monotonic()
             try:
                 pixels = [j.pixels for j in jobs]
                 pixels += [pixels[-1]] * (self.batch_size - len(pixels))
                 px = jnp.asarray(np.stack(pixels))  # async h2d
                 dev = self._score_batch(self._params, self._ids, px, self._mask)
+                t_done = time.monotonic()
+                self.stats.add(
+                    batches=1, jobs=len(jobs),
+                    linger_s=t_asm - t_linger, assemble_s=t_done - t_asm,
+                )
                 # one-deep pipeline: complete the PREVIOUS batch while this
                 # one's transfer+compute are in flight
                 if pending is not None:
@@ -321,6 +382,8 @@ def make_handler(service: ScoringService):
                         "num_segments": service.num_segments,
                     },
                 )
+            elif self.path == "/statz":
+                self._reply(200, service.stats.snapshot(service.batch_size))
             else:
                 self._reply(404, {"error": "unknown path"})
 

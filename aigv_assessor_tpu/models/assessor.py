@@ -111,6 +111,11 @@ class AIGVAssessor(nn.Module):
     # per-layer activation rematerialization in both towers (reference
     # `--grad_checkpoint` + ViT ckpt default-on, `stage1_train.py:886-889`)
     remat: bool = False
+    # selective remat for the vision tower (jax.checkpoint_policies name,
+    # e.g. 'dots_with_no_batch_dims_saveable'): ViT-LoRA training pays a
+    # full encoder recompute under plain remat (see vit.py); the LLM keeps
+    # full per-layer remat either way
+    vit_remat_policy: Optional[str] = None
 
     def setup(self):
         cfg = self.config
@@ -134,6 +139,7 @@ class AIGVAssessor(nn.Module):
         )
         self.vision_model = InternVisionModel(
             cfg.vision, self.precision, lora=vit_lora, remat=self.remat,
+            remat_policy=self.vit_remat_policy,
             name="vision_model",
         )
         if getattr(cfg.llm, "architecture", "") == "Phi3ForCausalLM":

@@ -47,8 +47,14 @@ class RMSNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, quant: bool = False):
         weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        if quant:
+            # W8A8 serving: emit (int8, scale) straight from the norm — one
+            # HBM read instead of norm write + the quantizer's two passes
+            from aigv_assessor_tpu.ops.quant_fuse import rmsnorm_quant
+
+            return rmsnorm_quant(x, weight, self.eps)
         return rms_norm(x, weight, self.eps)
 
 
@@ -126,7 +132,8 @@ class InternLM2Attention(nn.Module):
         block_causal: Optional[int] = None,  # see two_part_cached_attention
     ):
         cfg = self.config
-        b, s, c = x.shape
+        # x may be a pre-quantized (int8, scale) pair under fused W8A8
+        b, s, c = (x[0] if isinstance(x, tuple) else x).shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
         # head-major fast path for the training/scoring forward (no cache,
@@ -176,7 +183,6 @@ class InternLM2Attention(nn.Module):
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
                 head_major_in=True,
-                w8a8=self.precision.w8a8,
                 name="wo",
             )(out, deterministic)
             return out, new_cache
@@ -220,12 +226,12 @@ class InternLM2Attention(nn.Module):
             ):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
-                ).astype(x.dtype)
+                ).astype(self.precision.compute_dtype)
             else:
                 out = two_part_cached_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask,
                     block_causal=block_causal,
-                ).astype(x.dtype)
+                ).astype(self.precision.compute_dtype)
         else:
             if capture_kv:
                 new_cache = (k, v)
@@ -247,7 +253,6 @@ class InternLM2Attention(nn.Module):
             lora=self.lora,
             int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
-            w8a8=self.precision.w8a8,
             name="wo",
         )(out, deterministic)
         return out, new_cache
@@ -275,13 +280,25 @@ class InternLM2MLP(nn.Module):
             w8a8=self.precision.w8a8,
             name="w3",
         )(x, deterministic)
+        from aigv_assessor_tpu.ops.quant_fuse import fuse_enabled, silu_mul_quant
+
+        if (
+            self.precision.w8a8
+            and (self.lora is None or self.lora.r == 0)
+            and fuse_enabled("llm")
+        ):
+            # fused SwiGLU+quantize: one read of the two 8192-wide halves
+            # instead of the silu*mul write + the quantizer's two passes
+            h = silu_mul_quant(w1, w3)
+        else:
+            h = nn.silu(w1) * w3
         return LoRADense(
             cfg.hidden_size, dtype=self.precision.compute_dtype,
             lora=self.lora, int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
             w8a8=self.precision.w8a8,
             name="w2",
-        )(nn.silu(w1) * w3, deterministic)
+        )(h, deterministic)
 
 
 class InternLM2DecoderLayer(nn.Module):
@@ -306,10 +323,20 @@ class InternLM2DecoderLayer(nn.Module):
         block_causal=None,
     ):
         cfg = self.config
+        from aigv_assessor_tpu.ops.quant_fuse import fuse_enabled
+
+        # fused norm+quantize feeds for the W8A8 projections (serving only:
+        # adapters need the float activation, so LoRA keeps the two-op path)
+        fuse_quant = (
+            self.precision.w8a8
+            and (self.lora is None or self.lora.r == 0)
+            and fuse_enabled("llm")
+        )
+        attn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="attention_norm")
         attn_out, new_cache = InternLM2Attention(
             cfg, self.precision, self.lora, name="attention"
         )(
-            RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="attention_norm")(x),
+            attn_norm(x, quant=True) if fuse_quant else attn_norm(x),
             cos,
             sin,
             position_ids,
@@ -323,8 +350,9 @@ class InternLM2DecoderLayer(nn.Module):
             block_causal,
         )
         x = x + attn_out
+        ffn_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="ffn_norm")
         mlp_out = InternLM2MLP(cfg, self.precision, self.lora, name="feed_forward")(
-            RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="ffn_norm")(x),
+            ffn_norm(x, quant=True) if fuse_quant else ffn_norm(x),
             deterministic,
         )
         return x + mlp_out, new_cache

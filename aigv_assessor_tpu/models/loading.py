@@ -128,10 +128,14 @@ def quantize_for_serving(
 
         if has_i8 or has_i4:
             params = dequantize_tree(params)
+        # out-projections (wo/proj/o_proj) stay float: their int8 einsum
+        # form measured SLOWER than bf16 on v5e (156 vs 195 TOPS,
+        # benchmarks/w8a8_model_probe.py) and they carry only ~7-8% of the
+        # matmul FLOPs; the LM head stays float for fp32-logits parity
         params = quantize_tree(
             params,
             scope=("language_model", "vision_model"),
-            exclude=("output",),
+            exclude=("output", "wo", "proj", "o_proj"),
             only_base=True,
         )
         precision = dataclasses.replace(precision, w8a8=True)

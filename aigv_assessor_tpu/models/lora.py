@@ -112,8 +112,11 @@ class W8A8Dense(nn.Module):
     def __call__(self, x):
         from aigv_assessor_tpu.ops import w8a8 as ops
 
+        # x may be a pre-quantized (xq int8, sx fp32) pair from a fused
+        # producer+quantize kernel (`ops/quant_fuse`)
+        xs = x[0] if isinstance(x, tuple) else x
         in_dim = (
-            x.shape[1] * x.shape[3] if self.head_major_in else x.shape[-1]
+            xs.shape[1] * xs.shape[3] if self.head_major_in else xs.shape[-1]
         )
         kernel = self.param(
             "kernel_int8", nn.initializers.zeros, (in_dim, self.features),
@@ -216,6 +219,11 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         quant = self.int8 or self.int4
+        if isinstance(x, tuple):
+            # pre-quantized input: only the W8A8 base can consume it, and
+            # the LoRA branch cannot (adapters need the float activation);
+            # callers fuse the quantizer only when adapters are merged
+            assert self.w8a8 and (self.lora is None or self.lora.r == 0)
         if self.w8a8:
             assert not quant, "w8a8 excludes int8/int4 weight streaming"
             y = W8A8Dense(

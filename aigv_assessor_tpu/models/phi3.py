@@ -159,7 +159,8 @@ class Phi3Attention(nn.Module):
         deterministic=True, capture_kv=False, block_causal=None,
     ):
         cfg = self.config
-        b, s, c = x.shape
+        # x may be a pre-quantized (int8, scale) pair under fused W8A8
+        b, s, c = (x[0] if isinstance(x, tuple) else x).shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
         # head-major fast path for the training/scoring forward (no cache):
@@ -198,7 +199,7 @@ class Phi3Attention(nn.Module):
                 out = fused_qkv_attention(qkv, hq, hkv, causal=True)
             out = LoRADense(
                 c, dtype=self.precision.compute_dtype, lora=self.lora,
-                head_major_in=True, w8a8=self.precision.w8a8, name="o_proj",
+                head_major_in=True, name="o_proj",
             )(out, deterministic)
             return out, new_cache
 
@@ -237,12 +238,12 @@ class Phi3Attention(nn.Module):
             ):
                 out = cached_decode_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask
-                ).astype(x.dtype)
+                ).astype(self.precision.compute_dtype)
             else:
                 out = two_part_cached_attention(
                     q, k, v, cache_k, cache_v, cache_index, kv_mask,
                     block_causal=block_causal,
-                ).astype(x.dtype)
+                ).astype(self.precision.compute_dtype)
         else:
             if capture_kv:
                 new_cache = (k, v)
@@ -257,8 +258,7 @@ class Phi3Attention(nn.Module):
             LoRADense(
                 c, dtype=self.precision.compute_dtype, lora=self.lora,
                 int8=self.precision.int8_weights,
-                int4=self.precision.int4_weights,
-                w8a8=self.precision.w8a8, name="o_proj",
+                int4=self.precision.int4_weights, name="o_proj",
             )(out, deterministic),
             new_cache,
         )
@@ -282,6 +282,17 @@ class Phi3MLP(nn.Module):
             name="gate_up_proj",
         )(x, deterministic)
         gate, up = jnp.split(gate_up, 2, axis=-1)
+        from aigv_assessor_tpu.ops.quant_fuse import fuse_enabled, silu_mul_quant
+
+        if (
+            self.precision.w8a8
+            and (self.lora is None or self.lora.r == 0)
+            and fuse_enabled("llm")
+        ):
+            # fused SwiGLU+quantize feed for the W8A8 down_proj
+            h = silu_mul_quant(gate, up)
+        else:
+            h = nn.silu(gate) * up
         return LoRADense(
             cfg.hidden_size,
             dtype=self.precision.compute_dtype,
@@ -290,7 +301,7 @@ class Phi3MLP(nn.Module):
             int4=self.precision.int4_weights,
             w8a8=self.precision.w8a8,
             name="down_proj",
-        )(nn.silu(gate) * up, deterministic)
+        )(h, deterministic)
 
 
 class Phi3DecoderLayer(nn.Module):
@@ -305,19 +316,29 @@ class Phi3DecoderLayer(nn.Module):
         deterministic=True, capture_kv=False, block_causal=None,
     ):
         cfg = self.config
+        from aigv_assessor_tpu.ops.quant_fuse import fuse_enabled
+
+        # fused norm+quantize feeds for the W8A8 projections (serving only)
+        fuse_quant = (
+            self.precision.w8a8
+            and (self.lora is None or self.lora.r == 0)
+            and fuse_enabled("llm")
+        )
+        in_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="input_layernorm")
         attn_out, new_cache = Phi3Attention(
             cfg, self.precision, self.lora, name="self_attn"
         )(
-            RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="input_layernorm")(x),
+            in_norm(x, quant=True) if fuse_quant else in_norm(x),
             cos, sin, position_ids, attention_mask,
             cache_k, cache_v, cache_index, kv_mask, deterministic,
             capture_kv, block_causal,
         )
         x = x + attn_out
+        post_norm = RMSNorm(
+            cfg.hidden_size, cfg.rms_norm_eps, name="post_attention_layernorm"
+        )
         mlp_out = Phi3MLP(cfg, self.precision, self.lora, name="mlp")(
-            RMSNorm(
-                cfg.hidden_size, cfg.rms_norm_eps, name="post_attention_layernorm"
-            )(x),
+            post_norm(x, quant=True) if fuse_quant else post_norm(x),
             deterministic,
         )
         return x + mlp_out, new_cache

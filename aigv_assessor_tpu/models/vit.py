@@ -50,9 +50,15 @@ class LayerNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, quant: bool = False):
         weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        if quant:
+            # W8A8 serving: emit (int8, scale) straight from the norm — one
+            # HBM read instead of norm write + quantizer's two passes
+            from aigv_assessor_tpu.ops.quant_fuse import layernorm_quant
+
+            return layernorm_quant(x, weight, bias, self.eps)
         return layer_norm(x, weight, bias, self.eps)
 
 
@@ -141,7 +147,8 @@ class InternAttention(nn.Module):
         kv_valid: Optional[int] = None,  # static: real tokens if x is padded
     ) -> jnp.ndarray:
         cfg = self.config
-        b, n, c = x.shape
+        # x may be a pre-quantized (int8, scale) pair under fused W8A8
+        b, n, c = (x[0] if isinstance(x, tuple) else x).shape
         h, d = cfg.num_attention_heads, cfg.head_dim
 
         if not cfg.qk_normalization:
@@ -166,7 +173,6 @@ class InternAttention(nn.Module):
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
                 head_major_in=True,
-                w8a8=self.precision.w8a8,
                 name="proj",
             )(out, deterministic)
 
@@ -195,7 +201,6 @@ class InternAttention(nn.Module):
             use_bias=True,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
-            w8a8=self.precision.w8a8,
             name="proj",
         )(out, deterministic)
 
@@ -206,7 +211,7 @@ class InternMLP(nn.Module):
     lora: Optional[LoRAConfig] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         x = LoRADense(
             cfg.intermediate_size,
@@ -216,7 +221,20 @@ class InternMLP(nn.Module):
             w8a8=self.precision.w8a8,
             name="fc1",
         )(x, deterministic)
-        x = nn.gelu(x, approximate=cfg.approximate_gelu)
+        from aigv_assessor_tpu.ops.quant_fuse import fuse_enabled, gelu_quant
+
+        if (
+            self.precision.w8a8
+            and (self.lora is None or self.lora.r == 0)
+            and cfg.approximate_gelu
+            and fuse_enabled("vit")
+        ):
+            # fused GELU+quantize: one read of the 4096-wide fc1 output
+            # instead of gelu write + quantizer's two passes (the single
+            # most expensive quantize in the encoder)
+            x = gelu_quant(x)
+        else:
+            x = nn.gelu(x, approximate=cfg.approximate_gelu)
         return LoRADense(
             cfg.hidden_size,
             use_bias=True,
@@ -256,8 +274,19 @@ class InternVisionEncoderLayer(nn.Module):
         # static gate on the config's max rate; per-layer rate is traced
         use_dp = not deterministic and cfg.drop_path_rate > 0.0
         rng = self.make_rng("dropout") if use_dp else None
+        from aigv_assessor_tpu.ops.quant_fuse import fuse_enabled
+
+        # fused norm+quantize feeds for the W8A8 projections (serving only:
+        # adapters need the float activation, so LoRA keeps the two-op path)
+        fuse_quant = (
+            self.precision.w8a8
+            and (self.lora is None or self.lora.r == 0)
+            and cfg.norm_type != "rms_norm"
+            and fuse_enabled("vit")
+        )
+        norm1 = make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm1")
         attn_out = InternAttention(cfg, self.precision, self.lora, name="attn")(
-            make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm1")(x),
+            norm1(x, quant=True) if fuse_quant else norm1(x),
             deterministic,
             kv_valid,
         )
@@ -265,8 +294,9 @@ class InternVisionEncoderLayer(nn.Module):
             attn_out * ls1.astype(attn_out.dtype), drop_path_rate, rng
         )
         rng2 = self.make_rng("dropout") if use_dp else None
+        norm2 = make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm2")
         mlp_out = InternMLP(cfg, self.precision, self.lora, name="mlp")(
-            make_norm(cfg.norm_type, cfg.hidden_size, cfg.layer_norm_eps, "norm2")(x),
+            norm2(x, quant=True) if fuse_quant else norm2(x),
             deterministic,
         )
         x = x + drop_path(
@@ -287,6 +317,13 @@ class InternVisionModel(nn.Module):
     # `modeling_intern_vit.py:248,277-280`); applied as nn.remat around each
     # encoder layer so backward recomputes activations layer-by-layer
     remat: bool = False
+    # optional jax.checkpoint_policies name (e.g.
+    # 'dots_with_no_batch_dims_saveable'): with ViT LoRA adapters the
+    # backward needs dL/d(projection outputs); full remat recomputes the
+    # whole encoder for them (measured 1.18 s/step vs 0.578 LLM-only,
+    # BENCH_NOTES round 3) while saving just the dot outputs avoids most of
+    # the recompute for a bounded activation-memory increase
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -308,14 +345,18 @@ class InternVisionModel(nn.Module):
             n_run = select_layer % (n_layers + 1)
         else:
             n_run = n_layers
-        layer_cls = (
-            nn.remat(
-                InternVisionEncoderLayer, static_argnums=(3, 4),
-                prevent_cse=False,
+        if self.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy
+                else None
             )
-            if self.remat
-            else InternVisionEncoderLayer
-        )
+            layer_cls = nn.remat(
+                InternVisionEncoderLayer, static_argnums=(3, 4),
+                prevent_cse=False, policy=policy,
+            )
+        else:
+            layer_cls = InternVisionEncoderLayer
         # pad the token dim ONCE for the whole encoder (1025 -> 1032) so the
         # flash kernel's 8-multiple requirement costs no per-layer pad/slice;
         # pad tokens are excluded from attention via kv_valid and sliced off

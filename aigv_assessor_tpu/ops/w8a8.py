@@ -41,6 +41,16 @@ def quantize_rows(x: jnp.ndarray, axis=-1):
     return xq, sx
 
 
+def _as_quantized(x):
+    """Accept either a float activation or a pre-quantized (xq, sx) pair
+    (produced by `ops/quant_fuse` fused producer+quantize kernels)."""
+    if isinstance(x, tuple):
+        xq, sx = x
+        assert xq.dtype == jnp.int8, xq.dtype
+        return xq, sx
+    return quantize_rows(x)
+
+
 def w8a8_matmul(
     x: jnp.ndarray,  # [..., K] float
     kernel_int8: jnp.ndarray,  # [K, N] int8
@@ -48,12 +58,15 @@ def w8a8_matmul(
     bias: Optional[jnp.ndarray] = None,  # [N]
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """y = dequant(quant_rows(x) @ kernel_int8) — standard layout."""
-    xq, sx = quantize_rows(x)
+    """y = dequant(quant_rows(x) @ kernel_int8) — standard layout.
+
+    `x` may be a pre-quantized (xq int8, sx fp32) pair from a fused
+    producer+quantize kernel (`ops/quant_fuse`)."""
+    xq, sx = _as_quantized(x)
     acc = jax.lax.dot_general(
         xq,
         kernel_int8,
-        (((x.ndim - 1,), (0,)), ((), ())),
+        (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * sx * kernel_scale.astype(jnp.float32)
@@ -71,10 +84,11 @@ def w8a8_head_major(
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Head-major projection [B, S, C] -> [B, heads, S, D] with the
-    transpose fused into the matmul output (see lora._HeadMajorDense)."""
-    c = x.shape[-1]
+    transpose fused into the matmul output (see lora._HeadMajorDense).
+    `x` may be a pre-quantized (xq, sx) pair."""
+    xq, sx = _as_quantized(x)  # sx [B, S, 1]
+    c = xq.shape[-1]
     d = kernel_int8.shape[-1] // heads
-    xq, sx = quantize_rows(x)  # sx [B, S, 1]
     w = kernel_int8.reshape(c, heads, d)
     acc = jnp.einsum(
         "bsc,chd->bhsd", xq, w, preferred_element_type=jnp.int32

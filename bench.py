@@ -207,9 +207,11 @@ def bench_vit(on_tpu: bool, w8a8: bool = False):
     return batch / per_iter
 
 
-def bench_train_step(on_tpu: bool, stage: int):
+def bench_train_step(on_tpu: bool, stage: int, vit_remat_policy=None):
     """Stage-1 (projector) / stage-2 (LoRA) jitted train step, samples/sec
-    (BASELINE #4/#5 single-chip analogs)."""
+    (BASELINE #4/#5 single-chip analogs). vit_remat_policy: selective remat
+    for the ViT tower (ViT-LoRA backward otherwise recomputes the whole
+    encoder — 1.18 s/step vs 0.578 LLM-only, BENCH_NOTES round 3)."""
     from aigv_assessor_tpu.cli.common import LLM_2B
     from aigv_assessor_tpu.core.config import AssessorConfig
     from aigv_assessor_tpu.core.precision import Precision
@@ -232,7 +234,8 @@ def bench_train_step(on_tpu: bool, stage: int):
         image, b, t, text_len, iters = 56, 2, 4, 32, 2
 
     model = AIGVAssessor(
-        cfg, Precision() if on_tpu else Precision.fp32(), remat=True
+        cfg, Precision() if on_tpu else Precision.fp32(), remat=True,
+        vit_remat_policy=vit_remat_policy,
     )
     n_ctx = t * cfg.num_image_token + 1
     seq = n_ctx + text_len
@@ -494,6 +497,25 @@ def main() -> None:
             record["lora_train_samples_per_sec"] = round(tput, 3)
         except Exception as e:  # pragma: no cover
             record["lora_train_error"] = repr(e)[:200]
+        gc.collect()
+        jax.clear_caches()
+        try:
+            # selective ViT remat: save dot outputs instead of recomputing
+            # the whole encoder for the ViT adapters' backward
+            tput, _ = bench_train_step(
+                on_tpu, stage=2,
+                vit_remat_policy="dots_with_no_batch_dims_saveable",
+            )
+            record["lora_train_samples_per_sec_selective_remat"] = round(
+                tput, 3
+            )
+            if tput > record.get("lora_train_samples_per_sec", 0):
+                record["lora_train_samples_per_sec_full_remat"] = record.get(
+                    "lora_train_samples_per_sec"
+                )
+                record["lora_train_samples_per_sec"] = round(tput, 3)
+        except Exception as e:  # pragma: no cover
+            record["lora_remat_error"] = repr(e)[:200]
         gc.collect()
         jax.clear_caches()
         try:

@@ -84,12 +84,37 @@ def main():
         assert r.status == 200, payload
         return payload["scores"]
 
+    def statz():
+        conn = http.client.HTTPConnection(args.host, args.port, timeout=60)
+        conn.request("GET", "/statz")
+        return json.loads(conn.getresponse().read())
+
     score(videos[0])  # warm the whole path
+    pre = statz()
     t0 = time.perf_counter()
     with ThreadPoolExecutor(args.concurrency) as pool:
         results = list(pool.map(score, videos))
     dt = time.perf_counter() - t0
     assert len(results) == args.n
+    post = statz()
+    # per-batch attribution over the measured window only
+    db = max(post["batches"] - pre["batches"], 1)
+    window = {
+        "batches": db,
+        "mean_batch_fill": round(
+            (post["jobs"] - pre["jobs"]) / db, 3
+        ),
+        "linger_ms_per_batch": round(
+            (post["linger_s_per_batch"] * post["batches"]
+             - pre["linger_s_per_batch"] * pre["batches"]) / db * 1e3, 2),
+        "assemble_ms_per_batch": round(
+            (post["assemble_s_per_batch"] * post["batches"]
+             - pre["assemble_s_per_batch"] * pre["batches"]) / db * 1e3, 2),
+        "flush_ms_per_batch": round(
+            (post["flush_s_per_batch"] * post["batches"]
+             - pre["flush_s_per_batch"] * pre["batches"]) / db * 1e3, 2),
+        "decode_s_mean": post["decode_s_mean"],
+    }
     print(
         json.dumps(
             {
@@ -99,6 +124,7 @@ def main():
                 "n": args.n,
                 "concurrency": args.concurrency,
                 "mean_latency_s": round(dt / args.n * args.concurrency, 3),
+                "statz_window": window,
             }
         )
     )

@@ -76,8 +76,11 @@ def main():
     w2 = jnp.asarray(rng.normal(size=(n, c)) * 0.02, jnp.bfloat16)
     w1q = jnp.asarray(rng.integers(-127, 128, (c, n)), jnp.int8)
     w2q = jnp.asarray(rng.integers(-127, 128, (n, c)), jnp.int8)
-    s1 = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
-    s2 = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+    # realistic dequant scales (~0.02/127): random int8 weights with O(1)
+    # scales overflow bf16 through two chained layers -> NaN in the
+    # fold-back loop
+    s1 = jnp.asarray((rng.random(n) + 0.5) * 2e-4, jnp.float32)
+    s2 = jnp.asarray((rng.random(c) + 0.5) * 2e-4, jnp.float32)
     flops = 2 * b * s * c * n
 
     def mlp_bf16(x, w1, w2):
@@ -118,7 +121,7 @@ def main():
     heads, d = 48, 64
     wq = jnp.asarray(rng.integers(-127, 128, (c, heads * d)), jnp.int8)
     wqb = jnp.asarray(rng.normal(size=(c, heads * d)) * 0.02, jnp.bfloat16)
-    sq = jnp.asarray(rng.random(heads * d) + 0.5, jnp.float32)
+    sq = jnp.asarray((rng.random(heads * d) + 0.5) * 2e-4, jnp.float32)
     hm_flops = 2 * b * s * c * heads * d
 
     def hm_bf16(x, w):
@@ -141,7 +144,7 @@ def main():
     xh = jnp.asarray(rng.normal(size=(b, hh, s, hh * 0 + 64)), jnp.bfloat16)
     wo = jnp.asarray(rng.integers(-127, 128, (hh * 64, c)), jnp.int8)
     wob = jnp.asarray(rng.normal(size=(hh * 64, c)) * 0.02, jnp.bfloat16)
-    so = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+    so = jnp.asarray((rng.random(c) + 0.5) * 2e-4, jnp.float32)
     hmi_flops = 2 * b * s * hh * 64 * c
 
     def hmi_bf16(x, w):

@@ -72,6 +72,15 @@ class TestMicroBatcher:
         assert scores.shape == (len(QUESTIONS),)
         assert np.all(np.isfinite(scores))
 
+    def test_stats_accumulate(self, service):
+        before = service.stats.snapshot(service.batch_size)["batches"]
+        service.submit(_pixels(service, 11))
+        snap = service.stats.snapshot(service.batch_size)
+        assert snap["batches"] > before
+        assert snap["jobs"] >= snap["batches"]
+        assert 0 < snap["mean_batch_fill"] <= service.batch_size
+        assert snap["flush_s_per_batch"] >= 0.0
+
 
 class TestHTTP:
     @pytest.fixture(scope="class")
@@ -95,6 +104,16 @@ class TestHTTP:
             duration=100,
         )
         return buf.getvalue()
+
+    def test_statz(self, server):
+        host, port = server
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        conn.request("GET", "/statz")
+        r = conn.getresponse()
+        assert r.status == 200
+        body = json.loads(r.read())
+        assert body["batch_capacity"] == 4
+        assert "decode_s_mean" in body
 
     def test_healthz(self, server):
         host, port = server
