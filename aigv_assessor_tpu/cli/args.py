@@ -102,6 +102,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="init scale when no checkpoint is given")
     p.add_argument("--eval_batch_size", type=int, default=8,
                    help="batched eval (the reference loops bs=1)")
+    p.add_argument("--eval_w8a8", type=_bool, default=False,
+                   help="run eval at the W8A8 serving precision (int8-MXU "
+                        "matmuls in both towers, ops/w8a8.py) — the "
+                        "precision the serving CLIs use; bounded score "
+                        "drift vs bf16 (tests/test_w8a8.py)")
     return p
 
 

@@ -50,7 +50,19 @@ def fused_main(args):
     config, model, params, tokenizer = build_model_and_tokenizer(args, stage=2)
     from aigv_assessor_tpu.models.loading import cast_params_for_inference
 
-    params = cast_params_for_inference(params, model.precision)
+    precision = model.precision
+    if getattr(args, "eval_w8a8", False):
+        # serving-grade precision for the protocol workload: quantize from
+        # the fp32 originals first (same ordering as build_serving_stack),
+        # then drop the fp32 masters
+        from aigv_assessor_tpu.models.assessor import AIGVAssessor
+        from aigv_assessor_tpu.models.loading import quantize_for_serving
+
+        params, precision = quantize_for_serving(
+            params, precision, w8a8=True
+        )
+        model = AIGVAssessor(config, precision)
+    params = cast_params_for_inference(params, precision)
     metas = [args.meta_path] + list(args.fused_meta_paths)
     datasets = [
         build_datasets(

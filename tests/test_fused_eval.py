@@ -164,3 +164,39 @@ def test_fused_rejects_mismatched_videos(two_perspective_meta, tmp_path):
     ]
     with pytest.raises(AssertionError, match="pairs a different video"):
         evaluate_perspectives(model, params, ds, batch_size=2)
+
+
+def test_fused_eval_w8a8(two_perspective_meta, tmp_path):
+    """--eval_w8a8 runs the fused eval at the W8A8 serving precision and
+    produces scores close to bf16 (int8 quantization drift is bounded;
+    exactness is covered per-op in tests/test_w8a8.py)."""
+    from aigv_assessor_tpu.cli import stage2_eval
+
+    metas, _root = two_perspective_meta
+    base_dir = str(tmp_path / "base")
+    stage2_eval.main(
+        _common_args(metas[0], base_dir) + ["--fused_meta_paths", metas[1]]
+    )
+    q_dir = str(tmp_path / "q")
+    stage2_eval.main(
+        _common_args(metas[0], q_dir)
+        + ["--fused_meta_paths", metas[1], "--eval_w8a8", "True"]
+    )
+    import csv
+
+    for pi in range(2):
+        rows_b = list(csv.DictReader(
+            open(os.path.join(base_dir, f"results_p{pi + 1}.csv"))
+        ))
+        rows_q = list(csv.DictReader(
+            open(os.path.join(q_dir, f"results_p{pi + 1}.csv"))
+        ))
+        assert len(rows_q) == len(rows_b) == 5
+        b = {r["video_name"]: float(r["pred_score"]) for r in rows_b}
+        q = {r["video_name"]: float(r["pred_score"]) for r in rows_q}
+        assert set(b) == set(q)
+        spread = max(abs(v) for v in b.values()) or 1.0
+        for v in b:
+            assert abs(b[v] - q[v]) <= 0.15 * spread + 0.05, (
+                f"perspective {pi} video {v}: w8a8 {q[v]} vs bf16 {b[v]}"
+            )
