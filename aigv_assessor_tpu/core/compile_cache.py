@@ -12,17 +12,52 @@ rolling restart.
 Env contract:
   AIGV_COMPILE_CACHE=<dir>  cache directory (default ~/.cache/aigv_assessor_tpu/jax)
   AIGV_COMPILE_CACHE=0      disable
+
+The cache root is suffixed with a HOST FINGERPRINT (jaxlib version,
+arch, JAX platform selection, and a hash of the CPU feature flags):
+XLA:CPU serializes AOT executables specialized to the compiling host's
+CPU features, and its cache key does NOT include them — loading an
+entry produced on a host with a different feature set (e.g. AMX/AVX512
+variants across a heterogeneous fleet) SIGSEGVs/SIGILLs the process at
+deserialization time (observed: a suite run crashing inside
+`compilation_cache.get_executable_and_time` on an entry written by a
+wider-featured machine). Scoping the directory per host class makes
+cross-host reuse structurally impossible while keeping same-host reuse.
 """
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
+import platform
 
 logger = logging.getLogger(__name__)
 
 _ENABLED = False
 _PATH: str | None = None
+
+
+def _host_fingerprint() -> str:
+    """Identity of the executable-compatibility class of this host."""
+    try:
+        import jaxlib.version
+
+        jl = jaxlib.version.__version__
+    except Exception:  # pragma: no cover - jaxlib always present in CI
+        jl = "unknown"
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line.split(":", 1)[1]
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        flags = platform.processor()
+    h = hashlib.sha256(flags.encode()).hexdigest()[:12]
+    plat = os.environ.get("JAX_PLATFORMS", "default").replace(",", "+")
+    return f"{jl}-{platform.machine()}-{plat}-{h}"
 
 
 def enable_compilation_cache() -> str | None:
@@ -32,9 +67,10 @@ def enable_compilation_cache() -> str | None:
     raw = os.environ.get("AIGV_COMPILE_CACHE", "")
     if raw in ("0", "off", "none"):
         return None
-    path = raw or os.path.join(
+    root = raw or os.path.join(
         os.path.expanduser("~"), ".cache", "aigv_assessor_tpu", "jax"
     )
+    path = os.path.join(root, _host_fingerprint())
     if _ENABLED:
         if path == _PATH:
             return _PATH
