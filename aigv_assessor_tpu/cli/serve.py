@@ -219,6 +219,28 @@ class ScoringService:
             self.stats.add(decode_s=time.monotonic() - t0, decodes=1)
 
     def _decode(self, path: str) -> np.ndarray:
+        s = self.image_size
+        if (
+            self.device_preprocess
+            and "cogvideo" not in path
+            and not path.lower().endswith(".gif")
+            and not os.path.isdir(path)
+        ):
+            # fast path: the native ffmpeg decoder scales DURING decode
+            # (libswscale bicubic, SIMD, GIL-free) — one pass straight to
+            # [T, s, s, 3] uint8. Per-frame PIL bicubic on the handler
+            # threads was 0.5 s/video on a 1-core serving host: the host,
+            # not the chip, capped online throughput (BENCH_NOTES round 4).
+            try:
+                from aigv_assessor_tpu.data import native_decode
+
+                if native_decode.available():
+                    arrs = native_decode.sample_frames(
+                        path, self.num_segments, out_size=(s, s)
+                    )
+                    return np.stack(arrs)
+            except (ImportError, IOError):
+                pass  # fall through to the PIL path
         frames = load_video(path, num_segments=self.num_segments)
         if self.device_preprocess:
             # handler threads decode + resize; frames stay UINT8 and the
@@ -229,7 +251,6 @@ class ScoringService:
             # its readback serializes behind in-flight score batches.
             from PIL import Image
 
-            s = self.image_size
             return np.stack([
                 np.asarray(
                     f.resize((s, s), Image.BICUBIC)
