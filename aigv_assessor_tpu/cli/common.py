@@ -214,25 +214,55 @@ def build_serving_stack(
         llm_path=None,
         mlp_path=None,
     )
-    config, model, params, tokenizer = build_model_and_tokenizer(
-        asm_args, stage=stage
-    )
-    from aigv_assessor_tpu.models.loading import cast_params_for_inference
+    # Materialize params ON THE HOST: checkpoint load / random init /
+    # quantization are host work, and running them through the accelerator
+    # round-trips the full fp32 tree (init RNG programs + ~8 GB d2h + h2d
+    # at 2B). On a tunneled chip that made cold start 10-30+ min; host
+    # init + ONE push of the final (quantized, bf16-cast) tree is minutes
+    # and tunnel-proof. Serving fleets restart often — cold start is a
+    # first-class metric (see also core/compile_cache.py).
+    cpu = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
+    import contextlib
 
-    # quantize from the fp32 originals first (bf16-rounding before
-    # quantization adds ~0.4% rel err), then drop the fp32 masters:
-    # serving holds none — ~halves weight HBM (9.7 GB at 2B). The cast
-    # skips the fp32 dequant scales.
-    precision = model.precision
-    if int8 or int4 or kv_int8 or w8a8:
-        from aigv_assessor_tpu.models.loading import quantize_for_serving
+    from aigv_assessor_tpu.core import compile_cache
 
-        params, precision = quantize_for_serving(
-            params, precision, int8=int8, int4=int4, kv_int8=kv_int8,
-            w8a8=w8a8,
+    # the persistent cache must not see these one-shot CPU init programs:
+    # XLA:CPU AOT entries can fail the loader's machine-feature check on
+    # reload (see compile_cache.py) — suspend reads AND writes
+    if cpu is not None and bf16:
+        # XLA:CPU has no bf16 dot path (DotThunk BF16xBF16 unimplemented):
+        # materialize params at fp32 — the param TREE is precision-
+        # independent (param_dtype fp32 everywhere, same init RNG) — and
+        # swap the serving-precision model back in below.
+        asm_args.bf16 = False
+    with (jax.default_device(cpu) if cpu is not None
+          else contextlib.nullcontext()), (
+          compile_cache.suspended() if cpu is not None
+          else contextlib.nullcontext()):
+        config, model, params, tokenizer = build_model_and_tokenizer(
+            asm_args, stage=stage
         )
-        model = AIGVAssessor(config, precision)
-    params = cast_params_for_inference(params, precision)
+        if cpu is not None and bf16:
+            model = AIGVAssessor(config, Precision())
+        from aigv_assessor_tpu.models.loading import cast_params_for_inference
+
+        # quantize from the fp32 originals first (bf16-rounding before
+        # quantization adds ~0.4% rel err), then drop the fp32 masters:
+        # serving holds none — ~halves weight HBM (9.7 GB at 2B). The cast
+        # skips the fp32 dequant scales.
+        precision = model.precision
+        if int8 or int4 or kv_int8 or w8a8:
+            from aigv_assessor_tpu.models.loading import quantize_for_serving
+
+            params, precision = quantize_for_serving(
+                params, precision, int8=int8, int4=int4, kv_int8=kv_int8,
+                w8a8=w8a8,
+            )
+            model = AIGVAssessor(config, precision)
+        params = cast_params_for_inference(params, precision)
+    if cpu is not None:
+        params = jax.device_put(params, jax.devices()[0])
+        jax.block_until_ready(params)
     return config, model, params, tokenizer
 
 

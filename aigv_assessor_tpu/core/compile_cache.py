@@ -27,6 +27,7 @@ cross-host reuse structurally impossible while keeping same-host reuse.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import logging
 import os
@@ -67,6 +68,21 @@ def enable_compilation_cache() -> str | None:
     raw = os.environ.get("AIGV_COMPILE_CACHE", "")
     if raw in ("0", "off", "none"):
         return None
+    if not raw:
+        # Default-on only for accelerator backends. XLA:CPU persists AOT
+        # executables whose recorded machine-feature spec can fail the
+        # loader's host check even on the machine that WROTE them
+        # (cpu_aot_loader "machine type doesn't match" → SIGILL risk;
+        # observed crashing a test run in-round). CPU compiles are also
+        # the cheap case. An explicit AIGV_COMPILE_CACHE=<dir> still
+        # opts in on any backend.
+        import jax
+
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:  # pragma: no cover - backend init failure
+            return None
     root = raw or os.path.join(
         os.path.expanduser("~"), ".cache", "aigv_assessor_tpu", "jax"
     )
@@ -106,3 +122,37 @@ def enable_compilation_cache() -> str | None:
     _PATH = path
     logger.info("persistent compilation cache: %s", path)
     return path
+
+
+@contextlib.contextmanager
+def suspended():
+    """Temporarily disable the persistent cache (no reads OR writes).
+
+    Used around host-side (CPU-device) param materialization inside an
+    accelerator-backend process: those one-shot CPU init programs would
+    otherwise be persisted as XLA:CPU AOT entries in the accelerator
+    process's cache dir — the entry class whose reload trips the
+    machine-feature check (see module docstring). No-op when the cache
+    is off."""
+    import jax
+
+    global _ENABLED, _PATH
+    if not _ENABLED:
+        yield
+        return
+    path = _PATH
+    try:
+        from jax._src import compilation_cache as _cc
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        _cc.reset_cache()
+        _ENABLED = False
+        yield
+    finally:
+        try:
+            jax.config.update("jax_compilation_cache_dir", path)
+            _cc.reset_cache()
+            _ENABLED = True
+            _PATH = path
+        except Exception:  # pragma: no cover - private-API drift
+            logger.warning("could not re-enable the compilation cache")

@@ -24,12 +24,22 @@ _NEG_INF = -1e30
 
 def _on_tpu() -> bool:
     """True on real TPU backends, including the 'axon' tunneled PJRT plugin
-    (whose backend name is not 'tpu' but whose devices are TPU chips)."""
+    (whose backend name is not 'tpu' but whose devices are TPU chips).
+
+    Honors a `jax.default_device(...)` override: host-side param
+    materialization (cli/common.build_serving_stack) traces the model for
+    the CPU device while the default BACKEND is still the TPU — Pallas
+    kernels must not be selected for that trace."""
     try:
-        if jax.default_backend() == "tpu":
-            return True
-        dev = jax.devices()[0]
-        return "tpu" in getattr(dev, "device_kind", "").lower()
+        dev = getattr(jax.config, "jax_default_device", None)
+        if dev is None:
+            if jax.default_backend() == "tpu":
+                return True
+            dev = jax.devices()[0]
+        return (
+            dev.platform == "tpu"
+            or "tpu" in getattr(dev, "device_kind", "").lower()
+        )
     except Exception:  # pragma: no cover
         return False
 

@@ -114,3 +114,27 @@ def test_fingerprint_varies_with_cpu_features(monkeypatch, tmp_path):
     assert fp_fake != fp_real
     # stable under repeated reads of the same host
     assert fp_fake == compile_cache._host_fingerprint()
+
+
+def test_default_disabled_on_cpu_backend(tmp_path):
+    """With no explicit AIGV_COMPILE_CACHE, the cache must stay OFF on the
+    CPU backend: XLA:CPU AOT entries can fail the loader's machine-feature
+    check even on the writing host (SIGILL/SIGSEGV risk)."""
+    prog = textwrap.dedent(
+        """
+        import os
+        os.environ.pop("AIGV_COMPILE_CACHE", None)
+        from aigv_assessor_tpu.core import compile_cache
+        assert compile_cache.enable_compilation_cache() is None
+        """
+    )
+    # PYTHONPATH drops any TPU-plugin sitecustomize (it materializes the
+    # platform list before env vars apply — same trick as run_tests.sh)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("AIGV_COMPILE_CACHE", None)
+    res = subprocess.run(
+        [sys.executable, "-c", prog], env=env, capture_output=True,
+        text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr
