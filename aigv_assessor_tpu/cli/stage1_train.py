@@ -139,9 +139,11 @@ def main(argv=None, stage=STAGE, best_metric=BEST_METRIC, mos_scale=MOS_SCALE,
     del params
 
     if args.resume_from_checkpoint:
+        # mesh= so scalar leaves restore replicated over the mesh, not on
+        # local device 0 (multi-process resume; see CheckpointManager.restore)
         trainer.state = CheckpointManager(
             args.resume_from_checkpoint
-        ).restore(trainer.state)
+        ).restore(trainer.state, mesh=mesh)
         logger.info("resumed from %s", args.resume_from_checkpoint)
 
     def data_iter(epoch):

@@ -301,9 +301,10 @@ def silu_mul_quant(h1, h3):
     for d in h1.shape[:-1]:
         r *= d
     rows = _pick_block_rows(r, c) if _on_tpu() else 0
-    # two live input blocks -> halve the row block to stay in VMEM budget
-    if rows > 8 and rows % 2 == 0:
-        rows //= 2
+    # two live input blocks -> halve the row block to stay in VMEM budget,
+    # re-rounding to the sublane multiple _pick_block_rows enforces
+    if rows > 8:
+        rows = max(8, (rows // 2) - (rows // 2) % 8)
     if not rows or c % 128:
         return _silu_mul_quant_xla(h1, h3)
     q, s = _silu_mul_quant_2d(h1.reshape(r, c), h3.reshape(r, c), rows)
