@@ -166,23 +166,34 @@ class InternLM2Attention(nn.Module):
                 if capture_kv
                 else None
             )
+            # W8A8: the kernel emits the dense [B, S, Hq*D] layout so wo
+            # runs as ONE int8 MXU matmul (~264 TOPS dense vs the 39.8-TOPS
+            # poisoned head-major-IN einsum; round-4 BENCH_NOTES). bf16
+            # keeps head-major-out + the fused head_major_in wo.
+            w8a8_wo = self.precision.w8a8
             if attention_mask is not None and attention_mask.ndim == 3:
                 out = multi_head_attention(
                     q, k, qkv[:, hq + hkv :], causal=True,
                     mask=attention_mask, impl="xla", layout="bhsd",
                 )
+                if w8a8_wo:
+                    out = out.transpose(0, 2, 1, 3).reshape(b, s, hq * d)
             else:
                 # re-fuse post-rope so the flash kernel reads q/k/v as three
                 # views of one array (rope writes q/k anyway; the extra v
                 # copy is one fused elementwise pass)
                 qkv = jnp.concatenate([q, k, qkv[:, hq + hkv :]], axis=1)
-                out = fused_qkv_attention(qkv, hq, hkv, causal=True)
+                out = fused_qkv_attention(
+                    qkv, hq, hkv, causal=True,
+                    out_layout="bsd" if w8a8_wo else "bhsd",
+                )
             out = LoRADense(
                 c,
                 use_bias=cfg.effective_o_bias,
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
-                head_major_in=True,
+                head_major_in=not w8a8_wo,
+                w8a8=w8a8_wo,
                 name="wo",
             )(out, deterministic)
             return out, new_cache
@@ -253,6 +264,7 @@ class InternLM2Attention(nn.Module):
             lora=self.lora,
             int8=self.precision.int8_weights,
             int4=self.precision.int4_weights,
+            w8a8=self.precision.w8a8,
             name="wo",
         )(out, deterministic)
         return out, new_cache

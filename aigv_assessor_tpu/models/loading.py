@@ -120,7 +120,12 @@ def quantize_for_serving(
     has_i8 = any(str(k[-1]) == "kernel_int8" for k in flat)
     has_i4 = any(str(k[-1]) == "kernel_int4" for k in flat)
     if w8a8:
-        assert not (int8 or int4), "w8a8 excludes int8/int4 weight streaming"
+        if int8 or int4:
+            raise ValueError(
+                "--w8a8 excludes --int8/--int4 weight streaming: w8a8 "
+                "quantizes dense layers for int8 MXU compute, the others "
+                "stream int8/int4 weights into bf16 compute"
+            )
         from aigv_assessor_tpu.tools.convert_to_int8 import (
             dequantize_tree,
             quantize_tree,
@@ -128,14 +133,16 @@ def quantize_for_serving(
 
         if has_i8 or has_i4:
             params = dequantize_tree(params)
-        # out-projections (wo/proj/o_proj) stay float: their int8 einsum
-        # form measured SLOWER than bf16 on v5e (156 vs 195 TOPS,
-        # benchmarks/w8a8_model_probe.py) and they carry only ~7-8% of the
-        # matmul FLOPs; the LM head stays float for fp32-logits parity
+        # wo/proj ride the dense int8 path since the attention kernels can
+        # emit [B, S, H*D] directly (out_layout='bsd'); the head-major-IN
+        # int8 einsum they previously needed measured 39.8 TOPS and kept
+        # them bf16 through round 4. o_proj (Phi-3) still consumes
+        # head-major and stays float; the LM head stays float for
+        # fp32-logits parity
         params = quantize_tree(
             params,
             scope=("language_model", "vision_model"),
-            exclude=("output", "wo", "proj", "o_proj"),
+            exclude=("output", "o_proj"),
             only_base=True,
         )
         precision = dataclasses.replace(precision, w8a8=True)

@@ -52,26 +52,65 @@ class FrozenBatchNorm(nn.Module):
         )
 
 
+class _PointwiseConvW8A8(nn.Module):
+    """(1,1,1) conv as an int8 MXU channel matmul (strides = spatial
+    subsampling). Param path/shape identical to nn.Conv's kernel, so bf16
+    checkpoints load unchanged; weights quantize on the fly
+    (`ops/w8a8.w8a8_dynamic_matmul`) — the motion branch is frozen and
+    inference-only, so no int8 export format is needed."""
+
+    features: int
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from aigv_assessor_tpu.ops.w8a8 import w8a8_dynamic_matmul
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, 1, cin, self.features),
+            jnp.float32,
+        )
+        st, sh, sw = self.strides
+        if (st, sh, sw) != (1, 1, 1):
+            x = x[:, ::st, ::sh, ::sw]
+        shape = x.shape
+        y = w8a8_dynamic_matmul(
+            x.reshape(-1, cin), kernel.reshape(cin, self.features),
+            out_dtype=self.dtype,
+        )
+        return y.reshape(shape[:-1] + (self.features,))
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: Tuple[int, int, int]
     strides: Tuple[int, int, int] = (1, 1, 1)
     use_relu: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    w8a8: bool = False  # int8-MXU pointwise convs (serving precision)
 
     @nn.compact
     def __call__(self, x):
-        pad = [(k // 2, k // 2) for k in self.kernel]
-        x = nn.Conv(
-            self.features,
-            kernel_size=self.kernel,
-            strides=self.strides,
-            padding=pad,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.w8a8 and self.kernel == (1, 1, 1):
+            x = _PointwiseConvW8A8(
+                self.features, self.strides, dtype=self.dtype, name="conv"
+            )(x)
+        else:
+            pad = [(k // 2, k // 2) for k in self.kernel]
+            x = nn.Conv(
+                self.features,
+                kernel_size=self.kernel,
+                strides=self.strides,
+                padding=pad,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = FrozenBatchNorm(self.features, name="bn")(x)
         return nn.relu(x) if self.use_relu else x
 
@@ -86,25 +125,27 @@ class Bottleneck(nn.Module):
     temporal_kernel: int = 1
     spatial_stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, x):
         s = self.spatial_stride
         branch = ConvBN(
             self.dim_inner, (self.temporal_kernel, 1, 1), dtype=self.dtype,
-            name="conv_a",
+            w8a8=self.w8a8, name="conv_a",
         )(x)
         branch = ConvBN(
             self.dim_inner, (1, 3, 3), strides=(1, s, s), dtype=self.dtype,
             name="conv_b",
         )(branch)
         branch = ConvBN(
-            self.dim_out, (1, 1, 1), use_relu=False, dtype=self.dtype, name="conv_c"
+            self.dim_out, (1, 1, 1), use_relu=False, dtype=self.dtype,
+            w8a8=self.w8a8, name="conv_c",
         )(branch)
         if x.shape[-1] != self.dim_out or s != 1:
             x = ConvBN(
                 self.dim_out, (1, 1, 1), strides=(1, s, s), use_relu=False,
-                dtype=self.dtype, name="shortcut",
+                dtype=self.dtype, w8a8=self.w8a8, name="shortcut",
             )(x)
         return nn.relu(x + branch)
 
@@ -116,6 +157,7 @@ class ResStage(nn.Module):
     temporal_kernel: int
     spatial_stride: int
     dtype: jnp.dtype = jnp.bfloat16
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -126,6 +168,7 @@ class ResStage(nn.Module):
                 self.temporal_kernel,
                 self.spatial_stride if i == 0 else 1,
                 dtype=self.dtype,
+                w8a8=self.w8a8,
                 name=f"block_{i}",
             )(x)
         return x
@@ -228,10 +271,12 @@ class SlowFastR50(nn.Module):
             stage_specs
         ):
             slow = ResStage(
-                depth, s_inner, s_out, s_tk, stride, dtype=dt, name=f"slow_res{si+2}"
+                depth, s_inner, s_out, s_tk, stride, dtype=dt,
+                w8a8=self.precision.w8a8, name=f"slow_res{si+2}",
             )(slow)
             fast = ResStage(
-                depth, f_inner, f_out, 3, stride, dtype=dt, name=f"fast_res{si+2}"
+                depth, f_inner, f_out, 3, stride, dtype=dt,
+                w8a8=self.precision.w8a8, name=f"fast_res{si+2}",
             )(fast)
             if si < 3:  # no fusion after the last stage
                 slow, fast = FuseFastToSlow(

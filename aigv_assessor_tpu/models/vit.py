@@ -164,15 +164,21 @@ class InternAttention(nn.Module):
                 w8a8=self.precision.w8a8,
                 name="qkv",
             )(x, deterministic)  # [B, 3H, N, D]
+            # W8A8: the kernel emits [B, N, H*D] so proj rides the dense
+            # int8 MXU path (head-major-IN int8 measured 39.8 TOPS, dense
+            # ~264; round-4 BENCH_NOTES). bf16 keeps head-major.
+            w8a8_proj = self.precision.w8a8
             out = fused_qkv_attention(
-                qkv, h, h, causal=False, kv_valid=kv_valid
-            )  # [B, H, N, D]
+                qkv, h, h, causal=False, kv_valid=kv_valid,
+                out_layout="bsd" if w8a8_proj else "bhsd",
+            )  # [B, H, N, D] or [B, N, H*D]
             return LoRADense(
                 c,
                 use_bias=True,
                 dtype=self.precision.compute_dtype,
                 lora=self.lora,
-                head_major_in=True,
+                head_major_in=not w8a8_proj,
+                w8a8=w8a8_proj,
                 name="proj",
             )(out, deterministic)
 
@@ -201,6 +207,7 @@ class InternAttention(nn.Module):
             use_bias=True,
             dtype=self.precision.compute_dtype,
             lora=self.lora,
+            w8a8=self.precision.w8a8,
             name="proj",
         )(out, deterministic)
 

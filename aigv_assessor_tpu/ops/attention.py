@@ -32,6 +32,9 @@ def _on_tpu() -> bool:
     kernels must not be selected for that trace."""
     try:
         dev = getattr(jax.config, "jax_default_device", None)
+        if isinstance(dev, str):
+            # jax.default_device also accepts platform strings
+            return dev.lower() == "tpu"
         if dev is None:
             if jax.default_backend() == "tpu":
                 return True
@@ -269,10 +272,13 @@ def fused_qkv_attention(
     mask: Optional[jnp.ndarray] = None,
     kv_valid: Optional[int] = None,
     impl: Optional[str] = None,
+    out_layout: str = "bhsd",
 ) -> jnp.ndarray:
     """Attention straight off a fused head-major qkv projection. On the
     pallas path q/k/v are BlockSpec views of the one array (no slice
-    copies); fallbacks slice."""
+    copies); fallbacks slice. out_layout='bsd' returns [B, S, hq*D] — the
+    kernel writes the out-projection's dense input form so wo/proj ride the
+    dense int8 MXU path under W8A8 (inference-only)."""
     d = qkv.shape[-1]
     s = qkv.shape[2]
     use_pallas = impl == "pallas" or (impl is None and _on_tpu())
@@ -285,13 +291,28 @@ def fused_qkv_attention(
     ):
         from aigv_assessor_tpu.ops import pallas_attention
 
-        return pallas_attention.flash_attention_qkv(
-            qkv, hq, hkv, causal=causal, kv_valid=kv_valid
+        dense = (
+            out_layout == "bsd"
+            and pallas_attention.dense_out_supported(
+                hq, hkv, d, qkv.shape[1]
+            )
         )
+        out = pallas_attention.flash_attention_qkv(
+            qkv, hq, hkv, causal=causal, kv_valid=kv_valid,
+            out_layout="bsd" if dense else "bhsd",
+        )
+        if out_layout == "bsd" and not dense:
+            b, h, ss, dd = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, ss, h * dd)
+        return out
     q = qkv[:, :hq]
     k = qkv[:, hq : hq + hkv]
     v = qkv[:, hq + hkv :]
-    return multi_head_attention(
+    out = multi_head_attention(
         q, k, v, causal=causal, mask=mask, layout="bhsd", kv_valid=kv_valid,
         impl=impl,
     )
+    if out_layout == "bsd":
+        b, h, ss, dd = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, ss, h * dd)
+    return out

@@ -106,16 +106,24 @@ def supported(q, k, v, mask) -> bool:
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, *rest,
     scale, causal, kv_valid, block_k, hp, with_lse, mask_tail=False,
-    pf16=False,
+    pf16=False, dense_out=False,
 ):
     """hp = heads per program (leading block dim): interleaving 2 heads lets
     the scheduler overlap one head's VPU softmax with the other's MXU matmuls
-    (measured 6.6 -> 5.8 ms on the ViT shape; >2 crashes the backend)."""
+    (measured 6.6 -> 5.8 ms on the ViT shape; >2 crashes the backend).
+
+    dense_out: the output block is [1, BQ, hp*D] of a dense [B, S, Hq*D]
+    array — the out-projection's natural input form, so wo/proj can run as a
+    single [B*S, Hq*D] x [Hq*D, C] int8 MXU matmul with no relayout (the
+    head-major-IN int8 einsum measured 39.8 TOPS vs ~264 dense; round-4
+    BENCH_NOTES). Inference-only (no lse)."""
+    assert not (dense_out and with_lse)
     lse_ref = rest[0] if with_lse else None
     qi = pl.program_id(1)
     num_k_blocks = _cdiv(kv_valid, block_k)
     c = scale * _LOG2E  # base-2 softmax: scale folded into q (see module doc)
 
+    dense_vals = []
     for hh in range(hp):
         q = q_ref[hh] * c  # [BQ, D]
         block_q, d = q.shape
@@ -166,7 +174,11 @@ def _fwd_kernel(
                 # zero-scoring pad columns (kernel pad or zeroed tail)
                 l = l - n_pad * jnp.exp2(-m)
             r = 1.0 / jnp.where(l <= 0.0, 1.0, l)
-            o_ref[hh] = (pv * r).astype(o_ref.dtype)
+            o_val = (pv * r).astype(o_ref.dtype)
+            if dense_out:
+                dense_vals.append(o_val)
+            else:
+                o_ref[hh] = o_val
             if with_lse:
                 lse = jnp.where(l <= 0.0, _NEG_INF, m * _LN2 - jnp.log(r))
                 lse_ref[0, hh] = lse[:, 0]
@@ -230,10 +242,21 @@ def _fwd_kernel(
         )
 
         r = 1.0 / jnp.where(l == 0.0, 1.0, l)
-        o_ref[hh] = (acc * r).astype(o_ref.dtype)
+        o_val = (acc * r).astype(o_ref.dtype)
+        if dense_out:
+            dense_vals.append(o_val)
+        else:
+            o_ref[hh] = o_val
         if with_lse:
             lse = jnp.where(l == 0.0, _NEG_INF, m * _LN2 - jnp.log(r))
             lse_ref[0, hh] = lse[:, 0]  # lane-major [BQ]
+
+    if dense_out:
+        o_ref[0] = (
+            dense_vals[0]
+            if hp == 1
+            else jnp.concatenate(dense_vals, axis=-1)
+        )
 
 
 def _to_bhsd(x: jnp.ndarray, layout: str) -> jnp.ndarray:
@@ -762,6 +785,7 @@ def _fwd_qkv(
     block_k: int,
     with_lse: bool,
     kv_valid: Optional[int],
+    dense_out: bool = False,  # emit [B, S, Hq*D] (see _fwd_kernel)
 ):
     b, ht, s, d = qkv.shape
     assert ht == hq + 2 * hkv
@@ -773,14 +797,30 @@ def _fwd_qkv(
     nq = sq // block_q
 
     hp = 2 if (hq == hkv and hq % 2 == 0 and ht % 2 == 0) else 1
+    assert not (dense_out and (with_lse or (hp * d) % 128)), (hp, d)
     q_spec, k_spec, v_spec = _fused_specs(ht, hq, hkv, sq, d, block_q, hp)
-    out_specs = [
-        pl.BlockSpec(
-            (hp, block_q, d), lambda bh, qi: (bh, qi, 0),
-            memory_space=pltpu.VMEM,
-        )
-    ]
-    out_shape = [jax.ShapeDtypeStruct((b * hq, sq, d), qkv.dtype)]
+    if dense_out:
+        # each program writes its hp heads' columns of the dense row block:
+        # block (1, BQ, hp*D) of a [B, S, Hq*D] array at column-block
+        # (head-block index); disjoint across programs
+        hpg = hq // hp
+
+        out_specs = [
+            pl.BlockSpec(
+                (1, block_q, hp * d),
+                lambda bh, qi: (bh // hpg, qi, bh % hpg),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        out_shape = [jax.ShapeDtypeStruct((b, sq, hq * d), qkv.dtype)]
+    else:
+        out_specs = [
+            pl.BlockSpec(
+                (hp, block_q, d), lambda bh, qi: (bh, qi, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        out_shape = [jax.ShapeDtypeStruct((b * hq, sq, d), qkv.dtype)]
     if with_lse:
         out_specs.append(
             pl.BlockSpec(
@@ -803,6 +843,7 @@ def _fwd_qkv(
             with_lse=with_lse,
             mask_tail=mask_tail,
             pf16=PF16_INFERENCE,
+            dense_out=dense_out,
         ),
         grid=((b * hq) // hp, nq),
         in_specs=[q_spec, k_spec, v_spec],
@@ -814,6 +855,8 @@ def _fwd_qkv(
             transcendentals=b * hq * sq * sq,
         ),
     )(qkv3, qkv3, qkv3)
+    if dense_out:
+        return outs[0][:, :s], None
     out = outs[0].reshape(b, hq, sq, d)[:, :, :s]
     lse = outs[1].reshape(b * hq, sq) if with_lse else None
     return out, lse
@@ -869,10 +912,14 @@ def flash_attention_qkv(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     kv_valid: Optional[int] = None,
+    out_layout: str = "bhsd",
 ) -> jnp.ndarray:
     """Flash attention straight off a fused head-major qkv projection:
     q/k/v are three BlockSpec views into ONE array, so the per-tensor slice
-    copies disappear. Returns [B, hq, S, D]. Differentiable."""
+    copies disappear. Returns [B, hq, S, D] (out_layout='bhsd',
+    differentiable) or [B, S, hq*D] (out_layout='bsd': the kernel writes the
+    out-projection's dense input form directly — W8A8 serving path, NOT
+    differentiable)."""
     d = qkv.shape[-1]
     s = qkv.shape[2]
     scale = scale if scale is not None else d**-0.5
@@ -882,4 +929,18 @@ def flash_attention_qkv(
         block_q = CAUSAL_BLOCK_Q
     block_q = max(8, min(block_q, _cdiv(s, 8) * 8))
     block_k = max(8, min(block_k, _cdiv(s, 8) * 8))
+    if out_layout == "bsd":
+        out, _ = _fwd_qkv(
+            qkv, hq, hkv, causal=causal, scale=scale, block_q=block_q,
+            block_k=block_k, with_lse=False, kv_valid=kv_valid,
+            dense_out=True,
+        )
+        return out
     return _flash_qkv(qkv, hq, hkv, causal, scale, block_q, block_k, kv_valid)
+
+
+def dense_out_supported(hq: int, hkv: int, d: int, ht: int) -> bool:
+    """Shapes where the 'bsd' dense output layout is available: the head
+    block's column width must be a whole lane tile."""
+    hp = 2 if (hq == hkv and hq % 2 == 0 and ht % 2 == 0) else 1
+    return (hp * d) % 128 == 0 and hq % hp == 0

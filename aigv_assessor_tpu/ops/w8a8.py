@@ -75,6 +75,31 @@ def w8a8_matmul(
     return y.astype(out_dtype)
 
 
+def w8a8_dynamic_matmul(
+    x: jnp.ndarray,  # [..., K] float
+    kernel: jnp.ndarray,  # [K, N] float
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """int8 MXU matmul with BOTH sides quantized on the fly.
+
+    For frozen float weights that aren't part of the int8 checkpoint format
+    (the SlowFast pointwise convs): the per-out-channel weight quantization
+    runs inside the jit, but it's one pass over [K, N] — negligible against
+    the [rows, K] activation pass, and XLA hoists it out of any scan."""
+    kf = kernel.astype(jnp.float32)
+    aw = jnp.max(jnp.abs(kf), axis=0, keepdims=True)
+    sw = jnp.maximum(aw, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    xq, sx = quantize_rows(x)
+    acc = jax.lax.dot_general(
+        xq,
+        wq,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sx * sw).astype(out_dtype)
+
+
 def w8a8_head_major(
     x: jnp.ndarray,  # [B, S, C] float
     kernel_int8: jnp.ndarray,  # [C, heads*D] int8
