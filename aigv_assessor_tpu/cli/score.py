@@ -194,14 +194,20 @@ def main(argv=None):
     from aigv_assessor_tpu.ops.preprocess import resize_normalize
 
     def load_one(path):
+        # aug-free scoring: scaled native decode straight to image_size
+        # (libswscale during decode; PIL resize skipped in transform_frames)
         if args.device_preprocess:
-            frames = load_video(path, num_segments=args.num_segments)
+            frames = load_video(
+                path, num_segments=args.num_segments, out_size=image_size
+            )
             raw = np.stack([np.asarray(f, np.uint8) for f in frames])
             return np.asarray(
                 resize_normalize(jnp.asarray(raw), size=image_size,
                                  dtype=jnp.float32)
             )
-        frames = load_video(path, num_segments=args.num_segments)
+        frames = load_video(
+            path, num_segments=args.num_segments, out_size=image_size
+        )
         return transform_frames(frames, input_size=image_size)
 
     bs = args.batch_size

@@ -107,14 +107,26 @@ def read_video_frames(
     video_path: str,
     num_segments: int = 8,
     bound: Optional[Tuple[float, float]] = None,
+    out_size: Optional[int] = None,
 ) -> List[Image.Image]:
     """Sample `num_segments` frames; decord-equivalent path
-    (`stage1_train.py:524-538`). Prefers the native C++ decoder."""
+    (`stage1_train.py:524-538`). Prefers the native C++ decoder.
+
+    out_size: decode straight to out_size x out_size (libswscale bicubic
+    during decode, SIMD, GIL-free) instead of decoding at native resolution
+    and resizing in PIL afterwards. Callers pass it only on aug-free paths
+    (eval/score/serve ingest): the JPEG-degradation augmentation must see
+    native-resolution pixels, and dynamic tiling needs the full frame.
+    Round-3 fused eval measured HOST-DECODE-BOUND at 1.74 videos/s against
+    an 11.4 v/s device rate (BENCH_NOTES) — this is the fix."""
     try:
         from aigv_assessor_tpu.data import native_decode
 
         if native_decode.available():
-            arrs = native_decode.sample_frames(video_path, num_segments, bound=bound)
+            arrs = native_decode.sample_frames(
+                video_path, num_segments, bound=bound,
+                out_size=(out_size, out_size) if out_size else None,
+            )
             return [Image.fromarray(a) for a in arrs]
     except ImportError:
         pass
@@ -161,16 +173,21 @@ def load_video(
     num_segments: int = 8,
     gif_fps: float = 10.0,
     bound: Optional[Tuple[float, float]] = None,
+    out_size: Optional[int] = None,
 ) -> List[Image.Image]:
     """Dispatch like the reference `load_video` (`stage1_train.py:503-538`),
-    including the cogvideo->.gif remap."""
+    including the cogvideo->.gif remap. out_size: scaled native decode for
+    aug-free paths (see read_video_frames); GIF/folder readers ignore it
+    (PIL resize happens downstream in transform_frames)."""
     if "cogvideo" in video_path:
         video_path = video_path.split(".mp4")[0] + ".gif"
     if video_path.lower().endswith(".gif"):
         return read_gif_frames(video_path, num_segments, fps=gif_fps, bound=bound)
     if os.path.isdir(video_path):
         return read_frames_folder(video_path, num_segments)
-    return read_video_frames(video_path, num_segments, bound=bound)
+    return read_video_frames(
+        video_path, num_segments, bound=bound, out_size=out_size
+    )
 
 
 # ------------------------------------------------------------- transforms ---
@@ -223,7 +240,8 @@ def transform_frames(
             img = jpeg_degrade(img, quality)
         if pad2square:
             img = expand2square(img, bg)
-        img = img.resize((input_size, input_size), Image.BICUBIC)
+        if img.size != (input_size, input_size):
+            img = img.resize((input_size, input_size), Image.BICUBIC)
         arr = np.asarray(img, np.float32) / 255.0
         out[i] = (arr - mean) / std
     return out
