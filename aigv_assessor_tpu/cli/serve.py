@@ -58,7 +58,7 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class _Job:
-    pixels: np.ndarray  # [T, H, W, 3] float32 (transformed frames)
+    pixels: object  # [T, H, W, 3] jax.Array (device_put on the handler thread)
     done: threading.Event = field(default_factory=threading.Event)
     scores: Optional[np.ndarray] = None  # [P] on success
     error: Optional[str] = None
@@ -75,7 +75,7 @@ class _Stats:
         self.batches = 0
         self.jobs = 0          # sum of real (non-pad) jobs over batches
         self.linger_s = 0.0    # device loop: waiting to fill after 1st job
-        self.assemble_s = 0.0  # np.stack + h2d enqueue + dispatch
+        self.assemble_s = 0.0  # on-device stack + dispatch (h2d rides submit)
         self.flush_s = 0.0     # blocking device readback wait
         self.idle_s = 0.0      # q.get() timeouts with nothing pending
         self.decode_s = 0.0    # handler-thread video decode + resize
@@ -195,6 +195,7 @@ class ScoringService:
 
         self._score_batch = score_batch
         self._jnp = jnp
+        self._device_put = jax.device_put
         self.stats = _Stats()
         self._q: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
@@ -265,7 +266,12 @@ class ScoringService:
         """Blocks until scored; returns [P] float scores (mos-scaled)."""
         if self._stop.is_set():
             raise RuntimeError("service is closed")
-        job = _Job(pixels=pixels)
+        # h2d on the HANDLER thread: the async transfer enqueue overlaps
+        # other handlers' decodes and the device loop's linger window, so
+        # assemble on the loop's critical path is just an on-device stack +
+        # dispatch (round-4 attribution: 124 ms/batch assemble at fill 2.67,
+        # dominated by host np.stack + one large h2d inside the loop)
+        job = _Job(pixels=self._device_put(pixels))
         self._q.put(job)
         if self._stop.is_set() and not job.done.is_set():
             # close() may have drained the queue between our check and the
@@ -354,7 +360,9 @@ class ScoringService:
             try:
                 pixels = [j.pixels for j in jobs]
                 pixels += [pixels[-1]] * (self.batch_size - len(pixels))
-                px = jnp.asarray(np.stack(pixels))  # async h2d
+                # inputs were device_put on the handler threads; this stack
+                # is a device-side copy, not a transfer
+                px = jnp.stack(pixels)
                 dev = self._score_batch(self._params, self._ids, px, self._mask)
                 t_done = time.monotonic()
                 self.stats.add(
