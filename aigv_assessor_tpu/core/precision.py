@@ -46,6 +46,13 @@ class Precision:
     # path), not the LM head (fp32 logits parity). Mutually exclusive with
     # int8_weights/int4_weights.
     w8a8: bool = False
+    # Opt-in: W8A8 also covers the SlowFast pointwise (1,1,1) convs
+    # (`models/motion._PointwiseConvW8A8`). Default OFF — measured
+    # REFUTED on v5e: the motion branch is conv/bandwidth-bound, and the
+    # on-the-fly quantize passes cost more than the int8 dots save
+    # (25.6 ms vs 17.8 ms bf16 per bs=4 batch, benchmarks/persp_profile
+    # round 5). Kept for parts where dense int8 is relatively cheaper.
+    w8a8_motion: bool = False
 
     def cast_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)

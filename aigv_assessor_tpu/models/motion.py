@@ -272,11 +272,11 @@ class SlowFastR50(nn.Module):
         ):
             slow = ResStage(
                 depth, s_inner, s_out, s_tk, stride, dtype=dt,
-                w8a8=self.precision.w8a8, name=f"slow_res{si+2}",
+                w8a8=self.precision.w8a8_motion, name=f"slow_res{si+2}",
             )(slow)
             fast = ResStage(
                 depth, f_inner, f_out, 3, stride, dtype=dt,
-                w8a8=self.precision.w8a8, name=f"fast_res{si+2}",
+                w8a8=self.precision.w8a8_motion, name=f"fast_res{si+2}",
             )(fast)
             if si < 3:  # no fusion after the last stage
                 slow, fast = FuseFastToSlow(

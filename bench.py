@@ -99,8 +99,14 @@ def _random_params_like(shapes, seed=0, score_head_std=0.06):
         if name in ("kernel", "embedding") or name.startswith("kernel_"):
             std = score_head_std if "mlpscore" in path else 0.02
             out[k] = rng.normal(0.0, std, s.shape).astype(np.float32)
-        elif name in ("scale", "gamma", "var", "kernel_scale"):
+        elif name in ("scale", "gamma", "var", "kernel_scale", "weight"):
+            # "weight" is this repo's RMSNorm scale (models/internlm2.py:51,
+            # models/vit.py:44) — zeros here zero every hidden state and
+            # make the scores constant (the round-5 'degenerate scores' bug)
             out[k] = np.ones(s.shape, np.float32)
+        elif name in ("ls1", "ls2"):
+            # LayerScale: zeros would detach every ViT residual branch
+            out[k] = np.full(s.shape, 0.1, np.float32)
         else:
             out[k] = np.zeros(s.shape, np.float32)
     return traverse_util.unflatten_dict(out)
@@ -147,12 +153,20 @@ def bench_w8a8_quality(on_tpu: bool):
     model = AIGVAssessor(cfg, prec)
     n_ctx = t * cfg.num_image_token + 1
     seq = n_ctx + text_len
+    n = 64
     rng = np.random.default_rng(0)
-    ids = rng.integers(10, cfg.llm.vocab_size, (bs, seq))
-    ids[:, 1 : 1 + n_ctx] = cfg.img_context_token_id
-    ids = jnp.asarray(ids, jnp.int32)
+    # PER-VIDEO token tails: with one shared prompt, a random-init (un-
+    # amplifying) model in bf16 leaves the per-video pixel deltas at the -4
+    # readout position below bf16 resolution -> constant scores (measured:
+    # 'degenerate scores' on-chip). Distinct tails vary the activations
+    # being quantized, which is exactly what a drift measurement needs.
+    ids_all = rng.integers(10, cfg.llm.vocab_size, (n, seq))
+    ids_all[:, 1 : 1 + n_ctx] = cfg.img_context_token_id
+    ids_all = jnp.asarray(ids_all, jnp.int32)
     px0 = jnp.zeros((bs, t, image, image, 3), cdt)
-    shapes = jax.eval_shape(model.init, jax.random.key(0), ids, px0)
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), ids_all[:bs], px0
+    )
     host = _random_params_like(shapes, seed=3)
     qhost, qprec = quantize_for_serving(host, prec, w8a8=True)
     params = jax.tree_util.tree_map(
@@ -176,10 +190,10 @@ def bench_w8a8_quality(on_tpu: bool):
     fq = jax.jit(
         lambda p, i, x: qmodel.apply(p, i, x, with_logits=False)["score"]
     )
-    n = 64
     vid_rng = np.random.default_rng(7)
     s_b, s_q = [], []
     for i in range(0, n, bs):
+        ids = ids_all[i : i + bs]
         px = jnp.asarray(
             vid_rng.normal(size=(bs, t, image, image, 3)), cdt
         )

@@ -83,6 +83,28 @@ class TestOps:
         want = std.reshape(b, s, h, n // h).transpose(0, 2, 1, 3)
         np.testing.assert_allclose(hm, want, rtol=1e-5, atol=1e-5)
 
+    def test_motion_pointwise_w8a8_matches_bf16(self):
+        """Opt-in int8 SlowFast pointwise convs (Precision.w8a8_motion;
+        default OFF — measured slower than bf16 on v5e, BENCH_NOTES round
+        5): same params, close outputs, identical param tree."""
+        from aigv_assessor_tpu.models.motion import ConvBN
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)), jnp.float32)
+        ref = ConvBN(24, (1, 1, 1), strides=(1, 2, 2), use_relu=False,
+                     dtype=jnp.float32, w8a8=False)
+        qnt = ConvBN(24, (1, 1, 1), strides=(1, 2, 2), use_relu=False,
+                     dtype=jnp.float32, w8a8=True)
+        params = ref.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(
+            params
+        ) == jax.tree_util.tree_structure(qnt.init(jax.random.key(0), x))
+        y_ref = np.asarray(ref.apply(params, x))
+        y_q = np.asarray(qnt.apply(params, x))
+        assert y_q.shape == y_ref.shape == (2, 4, 4, 4, 24)
+        rel = np.abs(y_q - y_ref).mean() / (np.abs(y_ref).mean() + 1e-9)
+        assert rel < 2e-2, rel
+
     def test_head_major_in_matches_standard(self):
         rng = np.random.default_rng(4)
         b, h, s, d, n = 2, 4, 6, 8, 16
