@@ -78,10 +78,27 @@ def fused_main(args):
         )
         for m in metas
     ]
+    import time as _time
+
+    t0 = _time.perf_counter()
     rows = evaluate_perspectives(
         model, params, datasets,
         batch_size=args.eval_batch_size,
         workers=max(1, args.dataloader_num_workers),
+    )
+    dt = _time.perf_counter() - t0
+    n_videos = len(rows[0]) if rows else 0
+    # print (not logger): jax/absl may own the root handler at WARNING
+    # before basicConfig runs, and this line IS the e2e measurement output
+    print(
+        "fused eval: %d videos x %d perspectives in %.2f s "
+        "(%.2f videos/s, %.2f persp-evals/s; includes first-batch compile)"
+        % (
+            n_videos, len(rows), dt,
+            n_videos / dt if dt else 0.0,
+            n_videos * len(rows) / dt if dt else 0.0,
+        ),
+        flush=True,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     all_metrics = {}

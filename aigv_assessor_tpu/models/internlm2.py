@@ -187,6 +187,20 @@ class InternLM2Attention(nn.Module):
                     qkv, hq, hkv, causal=True,
                     out_layout="bsd" if w8a8_wo else "bhsd",
                 )
+            from aigv_assessor_tpu.ops.quant_fuse import (
+                quant_rows,
+                quant_rows_enabled,
+            )
+
+            if (
+                w8a8_wo
+                and (self.lora is None or self.lora.r == 0)
+                and quant_rows_enabled("llm")
+            ):
+                # one-pass quantize of the flash output feeding the int8 wo
+                # dot (default OFF for the decoder pending the model A/B —
+                # Pallas calls under nn.scan broke overlap in round 4)
+                out = quant_rows(out)
             out = LoRADense(
                 c,
                 use_bias=cfg.effective_o_bias,

@@ -172,6 +172,20 @@ class InternAttention(nn.Module):
                 qkv, h, h, causal=False, kv_valid=kv_valid,
                 out_layout="bsd" if w8a8_proj else "bhsd",
             )  # [B, H, N, D] or [B, N, H*D]
+            from aigv_assessor_tpu.ops.quant_fuse import (
+                quant_rows,
+                quant_rows_enabled,
+            )
+
+            if (
+                w8a8_proj
+                and (self.lora is None or self.lora.r == 0)
+                and quant_rows_enabled("vit")
+            ):
+                # one-pass per-token quantize of the attention output: the
+                # producer is a Pallas call, so XLA can't fuse the absmax +
+                # cast passes into it the way it does for norm/gelu feeds
+                out = quant_rows(out)
             return LoRADense(
                 c,
                 use_bias=True,

@@ -54,6 +54,23 @@ def fuse_enabled(component: str = "vit") -> bool:
         return True
     return component in v.split(",")
 
+def quant_rows_enabled(component: str = "vit") -> bool:
+    """Gate for the one-pass attention-output quantize feed (`quant_rows`
+    between the flash kernel's [B,S,H*D] output and the int8 wo/proj dot).
+
+    Separate from `fuse_enabled` because the trade-off is different: this
+    replaces a standalone XLA quantize whose producer is an opaque Pallas
+    call (nothing for XLA to fuse it into), not a fusable norm/gelu.
+    AIGV_QUANT_ROWS overrides: '0' all off, '1' all on, or a comma list of
+    components ('vit', 'llm'). Default set by the round-5 model A/B."""
+    v = os.environ.get("AIGV_QUANT_ROWS", "vit")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return component in v.split(",")
+
+
 _SQRT_2_OVER_PI = 0.7978845608028654
 
 
@@ -114,6 +131,14 @@ def _ln_quant_kernel(x_ref, g_ref, b_ref, eps_ref, q_ref, s_ref):
 
 def _gelu_quant_kernel(x_ref, q_ref, s_ref):
     y = _gelu_tanh(x_ref[:].astype(jnp.float32))
+    ax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.maximum(ax, 1e-8) / 127.0
+    q_ref[:] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    s_ref[:] = s
+
+
+def _ident_quant_kernel(x_ref, q_ref, s_ref):
+    y = x_ref[:].astype(jnp.float32)
     ax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
     s = jnp.maximum(ax, 1e-8) / 127.0
     q_ref[:] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
@@ -229,6 +254,25 @@ def _silu_mul_quant_2d(h1, h3, block_rows: int):
     return q, s
 
 
+def _ident_quant_2d(x2, block_rows: int):
+    r, c = x2.shape
+    grid = (pl.cdiv(r, block_rows),)
+    q, s = pl.pallas_call(
+        _ident_quant_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_rows, c), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), jnp.int8),
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        ],
+    )(x2)
+    return q, s
+
+
 def _pick_block_rows(r: int, c: int) -> int:
     # keep the fp32 working tile well under VMEM: rows*c*4B <= ~4 MB,
     # rows a multiple of 8 (sublane). r need NOT divide evenly: the grids
@@ -290,6 +334,27 @@ def rmsnorm_quant(x, gamma, eps: float = 1e-5):
     q, s = _rms_quant_2d(
         x.reshape(r, c), gamma, jnp.asarray([eps], jnp.float32), rows
     )
+    return q.reshape(x.shape), s.reshape(x.shape[:-1] + (1,))
+
+
+def quant_rows(x):
+    """Per-row int8 quantize in ONE HBM read (identity producer).
+
+    For activations whose producer is a Pallas call (the flash-attention
+    output feeding wo/proj): the producer can't fuse the quantize into its
+    own epilogue (per-token scales need the full H*D row, which is split
+    across head programs), so this replaces `ops/w8a8.quantize_rows`'s
+    two XLA passes with one."""
+    c = x.shape[-1]
+    r = 1
+    for d in x.shape[:-1]:
+        r *= d
+    rows = _pick_block_rows(r, c) if _on_tpu() else 0
+    if not rows or c % 128:
+        from aigv_assessor_tpu.ops.w8a8 import quantize_rows
+
+        return quantize_rows(x)
+    q, s = _ident_quant_2d(x.reshape(r, c), rows)
     return q.reshape(x.shape), s.reshape(x.shape[:-1] + (1,))
 
 

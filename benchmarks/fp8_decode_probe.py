@@ -52,13 +52,17 @@ def _fp8_kernel(x_ref, w_ref, scale_ref, o_ref, *, block_k, k_total):
     o_ref[...] = (acc * scale_ref[0, :][None, :]).astype(o_ref.dtype)
 
 
-def fp8_matmul(x, w_fp8, scale, block_n=2048, block_k=2048,
+def fp8_matmul(x, w_fp8, scale, block_n=2048, block_k=512,
                out_dtype=jnp.bfloat16):
     m, k = x.shape
     kw, n = w_fp8.shape
     assert kw == k
     bm = max(8, _cdiv(m, 8) * 8)
     bn = min(block_n, _cdiv(n, 128) * 128)
+    # the whole-k weight column block lives in VMEM (double-buffered) and
+    # each fori step casts a [bk, bn] slice to bf16: cap the column block
+    # at ~2 MB fp8 so block + cast temporaries fit the 16 MB budget
+    bn = min(bn, max(128, (2 * 1024 * 1024 // k) // 128 * 128))
     bk = min(block_k, k)
     m_pad = _cdiv(m, bm) * bm
     if m_pad != m:
