@@ -96,6 +96,8 @@ def main(argv=None):
     ap.add_argument("--mos_scale", type=float, default=100.0,
                     help="multiply model scores back to MOS range (stage-2 "
                          "trains on mos/100, stage2_train.py:613)")
+    ap.add_argument("--normalize_type", default="imagenet",
+                    choices=["imagenet", "clip", "siglip"])
     ap.add_argument("--device_preprocess", type=_bool, default=True,
                     help="decode at native size on host, fused bicubic "
                          "resize+normalize on device (ops/preprocess.py); "
@@ -182,6 +184,15 @@ def main(argv=None):
         # [B, P, N] prompts share one frame encode per video; with a common
         # token prefix the LLM prefill over it is also shared (one prefill +
         # block-causal question suffixes instead of P full prefills)
+        if pixel_values.dtype == jnp.uint8:
+            # uint8 transport: 1/4 the h2d bytes, normalization fused here
+            from aigv_assessor_tpu.ops.preprocess import resize_normalize
+
+            pixel_values = resize_normalize(
+                pixel_values, size=pixel_values.shape[-2],
+                normalize_type=args.normalize_type,
+                dtype=model.precision.compute_dtype,
+            )
         return model.apply(
             params, input_ids, pixel_values, attention_mask,
             method="score_perspectives",
@@ -191,23 +202,20 @@ def main(argv=None):
     # threaded decode ahead of the device
     from concurrent.futures import ThreadPoolExecutor
 
-    from aigv_assessor_tpu.ops.preprocess import resize_normalize
-
     def load_one(path):
         # aug-free scoring: scaled native decode straight to image_size
-        # (libswscale during decode; PIL resize skipped in transform_frames)
-        if args.device_preprocess:
-            frames = load_video(
-                path, num_segments=args.num_segments, out_size=image_size
-            )
-            raw = np.stack([np.asarray(f, np.uint8) for f in frames])
-            return np.asarray(
-                resize_normalize(jnp.asarray(raw), size=image_size,
-                                 dtype=jnp.float32)
-            )
+        # (libswscale during decode; PIL resize skipped downstream)
         frames = load_video(
             path, num_segments=args.num_segments, out_size=image_size
         )
+        if args.device_preprocess:
+            # uint8 stays on the host until the batch h2d; score_batch
+            # normalizes in-jit. (The previous form normalized per video
+            # on-device and pulled fp32 BACK for batching — a d2h+h2d
+            # round trip per video that serialized on the tunneled link.)
+            from aigv_assessor_tpu.data.video import frames_to_uint8
+
+            return frames_to_uint8(frames, input_size=image_size)
         return transform_frames(frames, input_size=image_size)
 
     bs = args.batch_size

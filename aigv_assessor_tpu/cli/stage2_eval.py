@@ -78,28 +78,30 @@ def fused_main(args):
         )
         for m in metas
     ]
-    import time as _time
-
-    t0 = _time.perf_counter()
+    timing = {}
     rows = evaluate_perspectives(
         model, params, datasets,
         batch_size=args.eval_batch_size,
         workers=max(1, args.dataloader_num_workers),
+        timing_out=timing,
     )
-    dt = _time.perf_counter() - t0
     n_videos = len(rows[0]) if rows else 0
     # print (not logger): jax/absl may own the root handler at WARNING
     # before basicConfig runs, and this line IS the e2e measurement output
-    print(
-        "fused eval: %d videos x %d perspectives in %.2f s "
-        "(%.2f videos/s, %.2f persp-evals/s; includes first-batch compile)"
-        % (
-            n_videos, len(rows), dt,
-            n_videos / dt if dt else 0.0,
-            n_videos * len(rows) / dt if dt else 0.0,
-        ),
-        flush=True,
-    )
+    if timing:
+        dt = timing["total_s"]
+        msg = (
+            "fused eval: %d videos x %d perspectives in %.2f s "
+            "(%.2f videos/s, %.2f persp-evals/s incl. first-batch compile"
+            % (n_videos, len(rows), dt, n_videos / dt,
+               n_videos * len(rows) / dt)
+        )
+        if "steady_s" in timing and timing["steady_s"] > 0:
+            sv, ss = timing["steady_videos"], timing["steady_s"]
+            msg += "; steady-state %.2f videos/s, %.2f persp-evals/s" % (
+                sv / ss, sv * len(rows) / ss
+            )
+        print(msg + ")", flush=True)
     os.makedirs(args.output_dir, exist_ok=True)
     all_metrics = {}
     for i, r in enumerate(rows):

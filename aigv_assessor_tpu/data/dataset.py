@@ -337,6 +337,30 @@ class VideoQualityDataset:
             rng=self._rng,
         )
 
+    def supports_uint8_pixels(self) -> bool:
+        """uint8 transport is semantics-safe only on aug-free geometry:
+        no JPEG-degradation aug (train) and no pad2square (the mean-color
+        canvas is baked in before normalization)."""
+        return not self.is_train and not self.config.pad2square
+
+    def get_pixel_item_uint8(self, i: int) -> np.ndarray:
+        """Like `get_pixel_item` but returns [T, S, S, 3] uint8 with
+        normalization DEFERRED to the device (see `frames_to_uint8`):
+        1/4 the host->device bytes of the fp32 form. Callers normalize
+        in-jit via `ops/preprocess.resize_normalize(normalize_type=...)`."""
+        assert self.supports_uint8_pixels()
+        data_item = self.raw_data[i]
+        assert "video" in data_item, "get_pixel_item is for video samples"
+        from aigv_assessor_tpu.data.video import frames_to_uint8
+
+        frames = load_video(
+            os.path.join(self.root, data_item["video"]),
+            num_segments=self.num_segments,
+            gif_fps=self.gif_fps,
+            out_size=self._decode_out_size(),
+        )
+        return frames_to_uint8(frames, input_size=self.image_size)
+
     def _get(self, i: int) -> Sample:
         data_item = self.raw_data[i]
         if "video" in data_item:

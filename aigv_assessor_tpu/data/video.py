@@ -216,6 +216,29 @@ def expand2square(img: Image.Image, background_color) -> Image.Image:
     return result
 
 
+def frames_to_uint8(
+    frames: Sequence[Image.Image],
+    input_size: int = 448,
+) -> np.ndarray:
+    """PIL frames -> [T, S, S, 3] uint8, resize-only (no normalization).
+
+    Aug-free transport format for eval/score ingest: normalization runs
+    on-device inside the scoring jit (`ops/preprocess.resize_normalize`),
+    so batches cross the host->device link at 1/4 the fp32 bytes. The
+    round-5 fused-eval profile showed the 77 MB fp32 pixel batch on the
+    tunneled link as the binding term (decode itself measured 35 ms/video)
+    — the same finding round 3 made for serving (`cli/serve.py`). Frames
+    already decoded at input_size (scaled native decode) skip the resize."""
+    out = np.empty((len(frames), input_size, input_size, 3), np.uint8)
+    for i, img in enumerate(frames):
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if img.size != (input_size, input_size):
+            img = img.resize((input_size, input_size), Image.BICUBIC)
+        out[i] = np.asarray(img, np.uint8)
+    return out
+
+
 def transform_frames(
     frames: Sequence[Image.Image],
     input_size: int = 448,

@@ -26,6 +26,7 @@ import csv
 import functools
 import logging
 import os
+import time
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import jax
@@ -138,9 +139,24 @@ def evaluate_batches(
 
 
 @functools.lru_cache(maxsize=8)
-def _persp_forward(model, shared_prefix_len=None):
+def _persp_forward(model, shared_prefix_len=None, normalize_type="imagenet"):
+    import jax.numpy as jnp
+
+    compute_dtype = model.precision.compute_dtype
+
     @jax.jit
     def forward_fn(params, input_ids, pixel_values, attention_mask):
+        if pixel_values.dtype == jnp.uint8:
+            # uint8 transport: frames cross the link at 1/4 the fp32
+            # bytes; [0,1] + mean/std normalization fuses into the jit
+            # (same scheme as cli/serve.py — the round-5 fused-eval
+            # profile measured the fp32 pixel h2d as the binding term)
+            from aigv_assessor_tpu.ops.preprocess import resize_normalize
+
+            pixel_values = resize_normalize(
+                pixel_values, size=pixel_values.shape[-2],
+                normalize_type=normalize_type, dtype=compute_dtype,
+            )
         return model.apply(
             params, input_ids, pixel_values, attention_mask,
             method="score_perspectives",
@@ -156,6 +172,7 @@ def evaluate_perspectives(
     datasets,  # P VideoQualityDatasets over the SAME videos (paired by index)
     batch_size: int = 8,
     workers: int = 4,
+    timing_out: dict | None = None,
 ):
     """Fused multi-perspective stage-2 evaluation.
 
@@ -222,7 +239,13 @@ def evaluate_perspectives(
     prefix_len = compute_shared_prefix_len(
         flat, model.config.img_context_token_id
     )
-    forward_fn = _persp_forward(model, prefix_len or None)
+    uint8_ok = getattr(
+        datasets[0], "supports_uint8_pixels", lambda: False
+    )()
+    forward_fn = _persp_forward(
+        model, prefix_len or None,
+        normalize_type=getattr(datasets[0], "normalize_type", "imagenet"),
+    )
     rows = [[] for _ in range(p_count)]
     idx_chunks = [
         list(range(i, min(i + batch_size, n))) for i in range(0, n, batch_size)
@@ -230,7 +253,10 @@ def evaluate_perspectives(
 
     def pixels_for(i):
         # decode ONCE per video, from the first perspective's dataset —
-        # decode-only (the tokens already came from get_text_item)
+        # decode-only (the tokens already came from get_text_item);
+        # uint8 on aug-free paths (normalization fused into forward_fn)
+        if uint8_ok:
+            return datasets[0].get_pixel_item_uint8(i)
         return datasets[0].get_pixel_item(i)
 
     with ThreadPoolExecutor(workers) as pool:
@@ -244,6 +270,26 @@ def evaluate_perspectives(
 
         submit(0)
         submit(1)
+        batch_marks = []  # (wall time after batch ci read back, videos done)
+        done = 0
+        t_start = time.perf_counter()
+        pending = None  # one-deep readback pipeline: the device computes
+
+        def flush(p):
+            # batch ci while batch ci+1's pixels decode and transfer
+            nonlocal done
+            p_idxs, out = p
+            scores = np.asarray(out)  # [b, P]
+            done += len(p_idxs)
+            batch_marks.append((time.perf_counter(), done))
+            for bi, i in enumerate(p_idxs):
+                for pi in range(p_count):
+                    t = texts[pi][i]
+                    rows[pi].append(
+                        [t.video_name, t.answer, float(t.mos),
+                         float(scores[bi, pi])]
+                    )
+
         for ci, idxs in enumerate(idx_chunks):
             pixels = [f.result() for f in futures.pop(ci)]
             submit(ci + 2)
@@ -257,17 +303,22 @@ def evaluate_perspectives(
                     ids[bi, pi, :ln] = t.input_ids[:ln]
                     mask[bi, pi, :ln] = True
             px = np.stack(pixels)
-            scores = np.asarray(
-                forward_fn(
-                    params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask)
-                )
-            )  # [b, P]
-            for bi, i in enumerate(idxs):
-                for pi in range(p_count):
-                    t = texts[pi][i]
-                    rows[pi].append(
-                        [t.video_name, t.answer, float(t.mos), float(scores[bi, pi])]
-                    )
+            out = forward_fn(
+                params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(mask)
+            )  # async dispatch
+            if pending is not None:
+                flush(pending)
+            pending = (idxs, out)
+        if pending is not None:
+            flush(pending)
+    if timing_out is not None and batch_marks:
+        timing_out["total_s"] = batch_marks[-1][0] - t_start
+        timing_out["videos"] = batch_marks[-1][1]
+        if len(batch_marks) > 1:
+            # steady state: drop the first batch (it carries jit compile)
+            t1, v1 = batch_marks[0]
+            timing_out["steady_s"] = batch_marks[-1][0] - t1
+            timing_out["steady_videos"] = batch_marks[-1][1] - v1
     return rows
 
 
